@@ -1,0 +1,24 @@
+"""TPU-native inverse-rendering framework for complex indoor scenes.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of
+lzqsd/InverseRenderingOfIndoorScene (CVPR'20): from a single LDR/HDR indoor
+photo, predict per-pixel albedo / normal / roughness / depth (SVBRDF +
+geometry) and spatially-varying lighting as 12 spherical-Gaussian lobes per
+pixel, via a two-cascade network with a differentiable rendering layer and a
+differentiable bilateral-solver refinement.
+
+Design stance (not a port):
+  * NHWC layouts, pure-functional flax modules, optax optimizers,
+    orbax checkpoints.
+  * The two numerically hot differentiable operators (SG -> envmap shading
+    integral; bilateral splat/blur/slice + PCG) are fused Pallas TPU kernels
+    with custom VJPs; pure-jnp implementations serve as the correctness
+    anchor and CPU fallback.
+  * Parallelism is a single jit'd SPMD program over a jax.sharding.Mesh
+    (data x tile axes) instead of the reference's single-process
+    nn.DataParallel.
+"""
+
+__version__ = "0.1.0"
+
+from inverserenderingofindoorscene_tpu import core  # noqa: F401

@@ -1,0 +1,29 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Must set env vars before jax is imported anywhere.
+"""
+
+import os
+import sys
+
+# Force CPU: the ambient environment pins JAX_PLATFORMS=axon (one real TPU
+# chip); unit tests must run on the virtual 8-device CPU mesh instead.
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+# x64 available to tests that feed float64; float32 arrays stay float32.
+os.environ.setdefault("JAX_ENABLE_X64", "1")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# The container's sitecustomize registers the axon TPU backend at interpreter
+# startup and appends it to jax_platforms, overriding the env var — force the
+# config back to cpu-only here (conftest runs before any test imports jax use).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
