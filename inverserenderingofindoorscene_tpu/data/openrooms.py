@@ -1,0 +1,373 @@
+"""OpenRooms synthetic dataset pipeline (NHWC, numpy -> jax).
+
+Reproduces every transform of the reference ``BatchLoader``
+(/root/reference/dataLoader.py:15-319) without torch:
+
+  * scene lists from ``{train,test}.txt`` over the six xml render dirs with
+    the DiffLight/DiffMat path-derivation rules (dataLoader.py:75-91);
+  * LDR maps via PIL resize (Lanczos) to (H, W), mapped to [-1, 1]
+    (loadImage, dataLoader.py:219-237); albedo de-gamma'd
+    ``(0.5(x+1))^2.2`` (139-141), normals unit-normalized (143-146),
+    rough first channel (148-149);
+  * HDR image via cv2 (BGR->RGB), INTER_AREA resize, random exposure
+    scaling so the 95th-percentile masked intensity hits 0.85-0.95
+    (TRAIN) / 0.90 (TEST), clipped to [0, 1] (loadHdr/scaleHdr, 239-259);
+  * binary ``.dat`` depth with int32 w/h header (loadBinary, 261-275);
+  * seg mask -> {segArea, segEnv, segObj} bands with 7x7 binary erosion of
+    segObj in light mode (120-131);
+  * per-pixel envmap GT ``imenv_*.hdr`` reshaped (R, 16, C, 32, 3) ->
+    [R, C, 3, 16, 32] -> 2x2 block-mean to 8x16, with the zero-envmap +
+    ``env_ind=0`` fallback on missing files (286-319), scaled by the HDR
+    exposure;
+  * cascade>0: the six ``*_{level-1}.h5`` intermediate predictions with
+    their normalizations (162-184).
+
+Output dict uses this framework's NHWC conventions and key names (see
+``data/synthetic.py`` for the contract).
+"""
+
+from __future__ import annotations
+
+import os.path as osp
+import glob
+import random
+import struct
+import threading
+import queue as queue_mod
+from typing import Optional
+
+import numpy as np
+
+DEFAULT_DIRS = (
+    "main_xml",
+    "main_xml1",
+    "mainDiffLight_xml",
+    "mainDiffLight_xml1",
+    "mainDiffMat_xml",
+    "mainDiffMat_xml1",
+)
+
+
+def _require(path):
+    if not osp.isfile(path):
+        raise FileNotFoundError(path)
+    return path
+
+
+class OpenRoomsDataset:
+    """Per-item loader; indexable, stateless between items."""
+
+    def __init__(
+        self,
+        data_root: str,
+        dirs=DEFAULT_DIRS,
+        im_hw=(240, 320),
+        phase: str = "TRAIN",
+        cascade_level: int = 0,
+        is_light: bool = False,
+        is_all_light: bool = False,
+        env_hw=(8, 16),
+        env_rc=(120, 160),
+        sg_num: int = 12,
+        seed: Optional[int] = None,
+    ):
+        phase = phase.upper()
+        assert phase in ("TRAIN", "TEST"), phase
+        scene_file = osp.join(
+            data_root, "train.txt" if phase == "TRAIN" else "test.txt"
+        )
+        with open(scene_file) as f:
+            scenes = [x.strip() for x in f if x.strip()]
+
+        shapes = sorted(
+            osp.join(data_root, d, s) for d in dirs for s in scenes
+        )
+        self.im_list = []
+        for shape in shapes:
+            self.im_list += sorted(glob.glob(osp.join(shape, "im_*.hdr")))
+
+        if is_all_light:
+            self.im_list = [
+                x for x in self.im_list
+                if osp.isfile(x.replace("im_", "imenv_"))
+            ]
+            if cascade_level > 0:
+                suffix = "_%d.h5" % (cascade_level - 1)
+                self.im_list = [
+                    x for x in self.im_list
+                    if osp.isfile(
+                        x.replace("im_", "imenv_").replace(".hdr", suffix)
+                    )
+                ]
+
+        self.im_hw = im_hw
+        self.phase = phase
+        self.cascade_level = cascade_level
+        self.is_light = is_light
+        self.env_hw = env_hw
+        self.env_rc = env_rc
+        self.sg_num = sg_num
+        self.rng = np.random.RandomState(seed)
+
+    def __len__(self):
+        return len(self.im_list)
+
+    # --- path derivation (dataLoader.py:75-91) ---
+    def _paths(self, im_path):
+        def swap(stem, ext, drop=()):
+            p = im_path.replace("im_", stem).replace("hdr", ext)
+            for token in drop:
+                p = p.replace(token, "")
+            return p
+
+        return {
+            "albedo": swap("imbaseColor_", "png", ("DiffLight",)),
+            "normal": swap("imnormal_", "png", ("DiffLight",)),
+            "rough": swap("imroughness_", "png", ("DiffLight",)),
+            "depth": swap("imdepth_", "dat", ("DiffLight", "DiffMat")),
+            "seg": swap("immask_", "png", ("DiffMat",)),
+            "env": im_path.replace("im_", "imenv_"),
+        }
+
+    def _pre_path(self, im_path, stem):
+        return im_path.replace("im_", stem).replace(
+            ".hdr", "_%d.h5" % (self.cascade_level - 1)
+        )
+
+    # --- file readers ---
+    def _load_ldr(self, path, is_gamma=False):
+        """PIL image -> HWC float in [-1, 1] (loadImage, dataLoader.py:219-237)."""
+        from PIL import Image
+
+        h, w = self.im_hw
+        im = Image.open(_require(path)).resize([w, h], Image.LANCZOS)
+        im = np.asarray(im, dtype=np.float32)
+        if is_gamma:
+            im = 2.0 * (im / 255.0) ** 2.2 - 1.0
+        else:
+            im = (im - 127.5) / 127.5
+        if im.ndim == 2:
+            im = im[:, :, None]
+        return im
+
+    def _load_hdr(self, path):
+        """cv2 HDR -> HWC RGB (loadHdr, dataLoader.py:239-249)."""
+        import cv2
+
+        h, w = self.im_hw
+        im = cv2.imread(_require(path), -1)
+        assert im is not None, path
+        im = cv2.resize(im, (w, h), interpolation=cv2.INTER_AREA)
+        return np.ascontiguousarray(im[:, :, ::-1]).astype(np.float32)
+
+    def _scale_hdr(self, hdr, seg):
+        """Exposure scaling to the 95th-pct masked intensity
+        (scaleHdr, dataLoader.py:251-259)."""
+        h, w = self.im_hw
+        arr = np.sort((hdr * seg).flatten())
+        pivot = np.clip(arr[int(0.95 * h * w * 3)], 0.1, None)
+        if self.phase == "TRAIN":
+            scale = (0.95 - 0.1 * self.rng.random_sample()) / pivot
+        else:
+            scale = (0.95 - 0.05) / pivot
+        return np.clip(scale * hdr, 0, 1), scale
+
+    def _load_depth(self, path):
+        """int32-w/h-header float32 raster (loadBinary, dataLoader.py:261-275)."""
+        import cv2
+
+        h, w = self.im_hw
+        with open(_require(path), "rb") as f:
+            height = struct.unpack("i", f.read(4))[0]
+            width = struct.unpack("i", f.read(4))[0]
+            depth = np.frombuffer(
+                f.read(4 * width * height), dtype=np.float32
+            ).reshape(height, width)
+        depth = cv2.resize(depth, (w, h), interpolation=cv2.INTER_AREA)
+        return depth[:, :, None]
+
+    def _load_h5(self, path):
+        import h5py
+
+        try:
+            with h5py.File(path, "r") as hf:
+                return np.array(hf.get("data"))
+        except Exception:
+            return None
+
+    def _load_envmap(self, path):
+        """imenv HDR -> [R, C, eh*ew, 3] + validity flag
+        (loadEnvmap, dataLoader.py:286-319; reference layout is
+        [3, R, C, eh, ew] — ours flattens directions and puts RGB last)."""
+        import cv2
+
+        r, c = self.env_rc
+        eh, ew = self.env_hw
+        d = eh * ew
+        if not osp.isfile(path):
+            print("Warning: the envmap %s does not exist." % path)
+            return np.zeros((r, c, d, 3), np.float32), 0.0
+        env = cv2.imread(path, -1)
+        if env is None:
+            print("Warning: the envmap %s does not exist." % path)
+            return np.zeros((r, c, d, 3), np.float32), 0.0
+        eh0, ew0 = 16, 32
+        assert eh0 % eh == 0 and (eh0 // eh) == (ew0 // ew)
+        env = env.reshape(r, eh0, c, ew0, 3)[:, :, :, :, ::-1]  # BGR->RGB
+        env = env.transpose(0, 2, 1, 3, 4)  # [R,C,eh0,ew0,3]
+        s = eh0 // eh
+        if s > 1:
+            env = env.reshape(r, c, eh, s, ew, s, 3).mean(axis=(3, 5))
+        return (
+            np.ascontiguousarray(env.reshape(r, c, d, 3)).astype(np.float32),
+            1.0,
+        )
+
+    def __getitem__(self, ind):
+        import scipy.ndimage as ndimage
+
+        paths = self._paths(self.im_list[ind])
+
+        seg = 0.5 * (self._load_ldr(paths["seg"]) + 1.0)[:, :, 0:1]
+        seg_area = np.logical_and(seg > 0.49, seg < 0.51).astype(np.float32)
+        seg_env = (seg < 0.1).astype(np.float32)
+        seg_obj = seg > 0.9
+        if self.is_light:
+            seg_obj = ndimage.binary_erosion(
+                seg_obj[:, :, 0], structure=np.ones((7, 7)), border_value=1
+            )[:, :, None]
+        seg_obj = seg_obj.astype(np.float32)
+
+        im = self._load_hdr(paths["im"])
+        im, scale = self._scale_hdr(im, seg)
+
+        albedo = self._load_ldr(paths["albedo"])
+        albedo = (0.5 * (albedo + 1.0)) ** 2.2
+
+        normal = self._load_ldr(paths["normal"])
+        normal = normal / np.sqrt(
+            np.maximum(np.sum(normal * normal, axis=2, keepdims=True), 1e-5)
+        )
+
+        rough = self._load_ldr(paths["rough"])[:, :, 0:1]
+        depth = self._load_depth(paths["depth"])
+
+        out = {
+            "im": im,
+            "albedo": albedo,
+            "normal": normal,
+            "rough": rough,
+            "depth": depth,
+            "seg_area": seg_area,
+            "seg_env": seg_env,
+            "seg_brdf": seg_obj,
+            "seg_all": seg_area + seg_obj,
+            "name": self.im_list[ind],
+        }
+
+        if self.is_light:
+            env, env_ind = self._load_envmap(paths["env"])
+            out["env_gt"] = env * scale
+            if self.cascade_level > 0:
+                env_pre = self._load_h5(self._pre_path(self.im_list[ind], "imenv_"))
+                if env_pre is None:
+                    print("Wrong envmap pred")
+                    env_ind = 0.0
+                    r, c = self.env_rc
+                    env_pre = np.zeros((self.sg_num * 7, r, c), np.float32)
+                out["env_pre"] = env_pre.transpose(1, 2, 0)  # CHW -> HWC
+            out["env_ind"] = np.array([env_ind], np.float32)
+
+        if self.cascade_level > 0:
+            out.update(self._load_cascade_pre(self.im_list[ind]))
+        return out
+
+    def _load_cascade_pre(self, im_path):
+        """Previous-cascade .h5 products, normalized as dataLoader.py:162-184.
+
+        Stored CHW (the reference h5 contract); converted to HWC here."""
+
+        def chw(stem):
+            x = self._load_h5(self._pre_path(im_path, stem))
+            assert x is not None, (im_path, stem)
+            return x
+
+        albedo = chw("imbaseColor_")
+        albedo = albedo / np.maximum(albedo.mean(), 1e-10) / 3.0
+        normal = chw("imnormal_")
+        normal = normal / np.sqrt(
+            np.maximum(np.sum(normal * normal, axis=0, keepdims=True), 1e-5)
+        )
+        normal = 0.5 * (normal + 1.0)
+        rough = 0.5 * (chw("imroughness_")[0:1] + 1.0)
+        depth = chw("imdepth_")
+        depth = depth / np.maximum(depth.mean(), 1e-10) / 3.0
+        diffuse = chw("imdiffuse_")
+        diffuse = diffuse / max(diffuse.max(), 1e-10)
+        specular = chw("imspecular_")
+        specular = specular / max(specular.max(), 1e-10)
+        t = lambda x: np.ascontiguousarray(x.transpose(1, 2, 0))  # noqa: E731
+        return {
+            "albedo_pre": t(albedo),
+            "normal_pre": t(normal),
+            "rough_pre": t(rough),
+            "depth_pre": t(depth),
+            "diffuse_pre": t(diffuse),
+            "specular_pre": t(specular),
+        }
+
+
+class BatchIterator:
+    """Shuffling, threaded-prefetch batcher over an indexable dataset.
+
+    The reference uses torch DataLoader with 6-16 worker processes
+    (trainBRDF.py:136-137); here worker THREADS suffice because the heavy
+    lifting (cv2 decode/resize, h5) releases the GIL, and the arrays feed
+    straight into jax.device_put.
+    """
+
+    def __init__(self, dataset, batch_size, shuffle=True, num_workers=4,
+                 drop_last=True, seed=0):
+        self.ds = dataset
+        self.bs = batch_size
+        self.shuffle = shuffle
+        self.workers = num_workers
+        self.drop_last = drop_last
+        self.rng = random.Random(seed)
+
+    def __len__(self):
+        n = len(self.ds)
+        return n // self.bs if self.drop_last else (n + self.bs - 1) // self.bs
+
+    def __iter__(self):
+        order = list(range(len(self.ds)))
+        if self.shuffle:
+            self.rng.shuffle(order)
+        batches = [
+            order[i : i + self.bs] for i in range(0, len(order), self.bs)
+        ]
+        if self.drop_last:
+            batches = [b for b in batches if len(b) == self.bs]
+
+        q = queue_mod.Queue(maxsize=self.workers * 2)
+        stop = object()
+
+        def produce():
+            for idxs in batches:
+                items = [self.ds[i] for i in idxs]
+                out = {}
+                for k in items[0]:
+                    if k == "name":
+                        out[k] = [it[k] for it in items]
+                    else:
+                        out[k] = np.stack([it[k] for it in items])
+                q.put(out)
+            q.put(stop)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item

@@ -1,0 +1,136 @@
+"""End-to-end pipeline/train-step tests at tiny resolution.
+
+Reference equations are re-verified structurally (masked normalization,
+LSregress detach semantics, loss weighting); numerics vs the reference are
+covered by the oracle tests in test_core_render.py / test_losses.py.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from inverserenderingofindoorscene_tpu.data.synthetic import synthetic_batch
+from inverserenderingofindoorscene_tpu.pipeline.brdf import (
+    BRDFNets,
+    brdf_step,
+    brdf_total_error,
+)
+from inverserenderingofindoorscene_tpu.pipeline.light import LightNets, light_step
+from inverserenderingofindoorscene_tpu.train.steps import (
+    create_train_state,
+    make_brdf_train_step,
+    make_light_train_step,
+    reference_adam,
+)
+
+IM_HW = (64, 64)
+ENV_RC = (32, 32)
+LIGHT_HW = (128, 128)
+
+
+def tiny_batch(cascade_level=0, batch=2, seed=0):
+    return synthetic_batch(
+        batch=batch,
+        im_hw=IM_HW,
+        env_rc=ENV_RC,
+        cascade_level=cascade_level,
+        seed=seed,
+    )
+
+
+def tiny_light_nets(cascade_level=0):
+    return LightNets(
+        cascade_level=cascade_level, env_rows=ENV_RC[0], env_cols=ENV_RC[1]
+    )
+
+
+@pytest.mark.parametrize("cascade_level", [0, 1])
+def test_brdf_step_shapes_and_finite(cascade_level):
+    nets = BRDFNets(cascade_level=cascade_level)
+    params = nets.init(jax.random.PRNGKey(0), IM_HW)
+    batch = tiny_batch(cascade_level)
+    preds, errors = jax.jit(
+        lambda p, b: brdf_step(nets, p, b)
+    )(params, batch)
+    b, h, w = batch["im"].shape[:3]
+    assert preds["albedo"].shape == (b, h, w, 3)
+    assert preds["normal"].shape == (b, h, w, 3)
+    assert preds["rough"].shape == (b, h, w, 1)
+    assert preds["depth"].shape == (b, h, w, 1)
+    # normals unit-norm, albedo/depth in range
+    nn = np.linalg.norm(np.asarray(preds["normal"]), axis=-1)
+    np.testing.assert_allclose(nn, 1.0, atol=1e-4)
+    assert float(preds["albedo"].min()) >= 0.0
+    assert float(preds["albedo"].max()) <= 1.0
+    for k, v in errors.items():
+        assert np.isfinite(float(v)), k
+    total = brdf_total_error(errors)
+    assert np.isfinite(float(total))
+
+
+def test_brdf_train_step_descends():
+    nets = BRDFNets(cascade_level=0)
+    params = nets.init(jax.random.PRNGKey(0), IM_HW)
+    tx = reference_adam(1e-3)
+    state = create_train_state(params, tx)
+    step = jax.jit(make_brdf_train_step(nets))
+    batch = tiny_batch()
+    losses = []
+    for _ in range(4):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["total"]))
+    assert losses[-1] < losses[0], losses
+    assert int(state.step) == 4
+
+
+def test_light_step_losses_finite_and_grads_flow():
+    brdf_nets = BRDFNets(cascade_level=0)
+    light_nets = tiny_light_nets()
+    bp = brdf_nets.init(jax.random.PRNGKey(0), IM_HW)
+    lp = light_nets.init(jax.random.PRNGKey(1), LIGHT_HW)
+    batch = tiny_batch()
+
+    def loss_fn(lp):
+        losses, _ = light_step(brdf_nets, light_nets, bp, lp, batch)
+        return 10.0 * losses["reconst"] + losses["render"], losses
+
+    (total, losses), grads = jax.jit(
+        jax.value_and_grad(loss_fn, has_aux=True)
+    )(lp)
+    assert np.isfinite(float(total))
+    for k in ("albedo", "normal", "rough", "depth", "reconst", "render"):
+        assert np.isfinite(float(losses[k])), k
+    gnorm = jax.tree_util.tree_reduce(
+        lambda a, x: a + float(jnp.sum(jnp.abs(x))), grads, 0.0
+    )
+    assert gnorm > 0.0
+
+
+def test_light_train_step_descends():
+    brdf_nets = BRDFNets(cascade_level=0)
+    light_nets = tiny_light_nets()
+    bp = brdf_nets.init(jax.random.PRNGKey(0), IM_HW)
+    lp = light_nets.init(jax.random.PRNGKey(1), LIGHT_HW)
+    state = create_train_state(lp, reference_adam(3e-4))
+    step = jax.jit(make_light_train_step(brdf_nets, light_nets, bp))
+    batch = tiny_batch()
+    losses = []
+    for _ in range(6):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["total"]))
+    assert min(losses[1:]) < losses[0], losses
+
+
+def test_light_step_cascade1():
+    brdf_nets = BRDFNets(cascade_level=1)
+    light_nets = tiny_light_nets(cascade_level=1)
+    bp = brdf_nets.init(jax.random.PRNGKey(0), IM_HW)
+    lp = light_nets.init(jax.random.PRNGKey(1), LIGHT_HW)
+    batch = tiny_batch(cascade_level=1)
+    losses, aux = jax.jit(
+        lambda bp, lp, b: light_step(brdf_nets, light_nets, bp, lp, b)
+    )(bp, lp, batch)
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), k
+    assert aux["sg"]["sg_flat"].shape == (2, ENV_RC[0], ENV_RC[1], 84)
