@@ -1,0 +1,379 @@
+"""On-device differentiable bilateral-grid solver (Barron-Poole).
+
+The reference runs this on CPU through scipy.sparse inside a custom
+autograd Function, round-tripping GPU->numpy->GPU every forward AND
+backward (/root/reference/BilateralLayer.py:20-124, BilateralGrid.py:43-207).
+Here the whole pipeline is jit-able JAX on TPU with STATIC shapes:
+
+  * 5-D XYLUV grid coordinates (BilateralGrid.py:46-59) — identical
+    hashing semantics but no hash: vertices are identified by a
+    lexicographic 5-key sort (``jax.lax.sort`` with num_keys=5) +
+    run-length unique, with a static vertex capacity ``v_max``;
+  * the [1 0 1] per-dim blur adjacency (BilateralGrid.py:73-84) becomes 10
+    neighbor-index arrays built with a sort-merge join (vertices + shifted
+    query coords sorted together; a query row adjacent to an equal real
+    row IS the neighbor link) — no sparse matrices, blur = 2*dim*y +
+    sum of gathers;
+  * splat/slice = segment-sum / gather through the pixel->vertex map;
+  * bistochastization (BilateralGrid.py:109-120) and Jacobi-preconditioned
+    CG (BilateralGrid.py:128-150) run as ``lax.fori_loop``s with fixed
+    iteration counts (the reference's cg_maxiter=10-12) plus convergence
+    masking to mimic scipy's tol-based stop;
+  * the backward is the reference's hand-derived gradient solve
+    (BilateralGrid.py:152-184): CG against the incoming gradient as RHS
+    (A is symmetric), grad_target = slice(yg)*w and grad_conf =
+    slice(-yg*yhat) + slice(yg)*target — wired up as a ``jax.custom_vjp``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# RGB -> YUV matrix + offset of the reference (BilateralGrid.py:13-22).
+RGB_TO_YUV = np.array(
+    [
+        [0.299, 0.587, 0.114],
+        [-0.168736, -0.331264, 0.5],
+        [0.5, -0.418688, -0.081312],
+    ]
+)
+YUV_OFFSET = np.array([0.0, 128.0, 128.0])
+
+DIM = 5  # x, y, luma, u, v
+
+
+class BilateralGrid(NamedTuple):
+    """Static-shape bilateral grid for ONE image.
+
+    vert_of_pixel: [N] int32 vertex id per pixel.
+    nbr: [2*DIM, V] int32 neighbor vertex id per (dim, +-1), -1 if absent.
+    valid: [V] float32 1.0 for real vertices.
+    """
+
+    vert_of_pixel: jnp.ndarray
+    nbr: jnp.ndarray
+    valid: jnp.ndarray
+
+    @property
+    def v_max(self):
+        return self.valid.shape[0]
+
+
+def _coords_from_image(image_rgb, sigma_spatial, sigma_luma, sigma_chroma):
+    """Pixel -> 5-D XYLUV integer grid coords (BilateralGrid.py:46-59).
+
+    image_rgb: [H, W, 3] in the 0..255 range (callers multiply by 255 like
+    BilateralLayer.py:52). Returns [N, 5] int32.
+    """
+    h, w = image_rgb.shape[:2]
+    yuv = image_rgb @ jnp.asarray(RGB_TO_YUV.T, image_rgb.dtype) + jnp.asarray(
+        YUV_OFFSET, image_rgb.dtype
+    )
+    iy, ix = jnp.meshgrid(jnp.arange(h), jnp.arange(w), indexing="ij")
+    cx = (ix / sigma_spatial).astype(jnp.int32)
+    cy = (iy / sigma_spatial).astype(jnp.int32)
+    cl = (yuv[..., 0] / sigma_luma).astype(jnp.int32)
+    cu = (yuv[..., 1] / sigma_chroma).astype(jnp.int32)
+    cv = (yuv[..., 2] / sigma_chroma).astype(jnp.int32)
+    return jnp.stack(
+        [cx.reshape(-1), cy.reshape(-1), cl.reshape(-1), cu.reshape(-1),
+         cv.reshape(-1)],
+        axis=1,
+    )
+
+
+_SENTINEL = jnp.int32(2**30)
+
+
+def build_grid(
+    image_rgb: jnp.ndarray,
+    sigma_spatial: float,
+    sigma_luma: float,
+    sigma_chroma: float,
+    v_max: int,
+) -> BilateralGrid:
+    """Build the grid for one [H, W, 3] image (values scaled to 0..255)."""
+    coords = _coords_from_image(
+        image_rgb, sigma_spatial, sigma_luma, sigma_chroma
+    )
+    n = coords.shape[0]
+
+    cols = [coords[:, d] for d in range(DIM)]
+    *sorted_cols, pix_idx = jax.lax.sort(
+        cols + [jnp.arange(n, dtype=jnp.int32)], num_keys=DIM
+    )
+    sc = jnp.stack(sorted_cols, axis=1)  # [N, 5] sorted
+
+    diff = jnp.any(sc != jnp.roll(sc, 1, axis=0), axis=1)
+    is_new = diff.at[0].set(True)
+    vid_sorted = jnp.cumsum(is_new.astype(jnp.int32)) - 1
+    vid_sorted = jnp.minimum(vid_sorted, v_max - 1)
+    nvert = vid_sorted[-1] + 1
+
+    # pixel -> vertex (scatter back to original pixel order)
+    vert_of_pixel = jnp.zeros((n,), jnp.int32).at[pix_idx].set(vid_sorted)
+
+    # vertex -> coords (duplicates write identical values)
+    vcoords = jnp.full((v_max, DIM), _SENTINEL, jnp.int32)
+    vcoords = vcoords.at[vid_sorted].set(sc)
+    vidx = jnp.arange(v_max, dtype=jnp.int32)
+    valid = (vidx < nvert).astype(jnp.float32)
+
+    # neighbor links by sort-merge join, one per (dim, offset)
+    nbrs = []
+    tag = jnp.concatenate(
+        [jnp.zeros((v_max,), jnp.int32), jnp.ones((v_max,), jnp.int32)]
+    )
+    payload = jnp.concatenate([vidx, vidx])
+    for d in range(DIM):
+        for off in (-1, 1):
+            q = vcoords.at[:, d].add(off)
+            # hide invalid query rows so they can't match
+            q = jnp.where(valid[:, None] > 0, q, _SENTINEL - 1)
+            allc = jnp.concatenate([vcoords, q], axis=0)
+            keys = [allc[:, i] for i in range(DIM)] + [tag]
+            sorted_ops = jax.lax.sort(
+                keys + [payload], num_keys=DIM + 1
+            )
+            s_cols = sorted_ops[:DIM]
+            s_tag = sorted_ops[DIM]
+            s_payload = sorted_ops[DIM + 1]
+            s_coords = jnp.stack(s_cols, axis=1)
+            prev_coords = jnp.roll(s_coords, 1, axis=0)
+            prev_tag = jnp.roll(s_tag, 1)
+            prev_payload = jnp.roll(s_payload, 1)
+            is_query = s_tag == 1
+            match = (
+                is_query
+                & (prev_tag == 0)
+                & jnp.all(s_coords == prev_coords, axis=1)
+            )
+            match = match.at[0].set(False)
+            nbr_d = jnp.full((v_max,), -1, jnp.int32)
+            nbr_d = nbr_d.at[jnp.where(is_query, s_payload, v_max)].set(
+                jnp.where(match, prev_payload, -1), mode="drop"
+            )
+            nbrs.append(nbr_d)
+    return BilateralGrid(
+        vert_of_pixel=vert_of_pixel,
+        nbr=jnp.stack(nbrs, axis=0),
+        valid=valid,
+    )
+
+
+def splat(grid: BilateralGrid, x: jnp.ndarray) -> jnp.ndarray:
+    """[N, C] pixel values -> [V, C] vertex sums (S @ x)."""
+    return jax.ops.segment_sum(
+        x, grid.vert_of_pixel, num_segments=grid.v_max
+    )
+
+
+def slice_(grid: BilateralGrid, y: jnp.ndarray) -> jnp.ndarray:
+    """[V, C] vertex values -> [N, C] per-pixel (S^T y ... gather)."""
+    return y[grid.vert_of_pixel]
+
+
+def blur(grid: BilateralGrid, y: jnp.ndarray) -> jnp.ndarray:
+    """[1 2 1]-per-dim blur: 2*DIM*y + sum of neighbor gathers
+    (BilateralGrid.py:96-103)."""
+    out = 2.0 * DIM * y
+    for i in range(2 * DIM):
+        idx = grid.nbr[i]
+        contrib = jnp.where((idx >= 0)[:, None], y[jnp.maximum(idx, 0)], 0.0)
+        out = out + contrib
+    return out
+
+
+def bistochastize(grid: BilateralGrid, maxiter: int = 10):
+    """Diagonal bistochastization (BilateralGrid.py:109-120)."""
+    m = splat(
+        grid, jnp.ones((grid.vert_of_pixel.shape[0], 1), jnp.float32)
+    )[:, 0]
+    n0 = jnp.ones((grid.v_max,), jnp.float32)
+
+    def body(_, n):
+        bl = blur(grid, n[:, None])[:, 0]
+        return jnp.sqrt(n * m / jnp.maximum(bl, 1e-20))
+
+    n = jax.lax.fori_loop(0, maxiter, body, n0)
+    m = n * blur(grid, n[:, None])[:, 0]
+    return n, m
+
+
+def _pcg(a_fn, b, y0, a_diag, maxiter, tol):
+    """Jacobi-preconditioned CG with scipy-style rtol stopping (masked)."""
+    minv = 1.0 / a_diag  # [V]
+
+    def prec(r):
+        return r * minv[:, None]
+
+    r0 = b - a_fn(y0)
+    z0 = prec(r0)
+    bnorm = jnp.sqrt(jnp.sum(b * b))
+    atol = jnp.maximum(tol * bnorm, 0.0)
+
+    def body(_, state):
+        y, r, z, p, rz = state
+        done = jnp.sqrt(jnp.sum(r * r)) <= atol
+        ap = a_fn(p)
+        denom = jnp.sum(p * ap)
+        alpha = jnp.where(jnp.abs(denom) > 0, rz / denom, 0.0)
+        alpha = jnp.where(done, 0.0, alpha)
+        y = y + alpha * p
+        r = r - alpha * ap
+        z = prec(r)
+        rz_new = jnp.sum(r * z)
+        beta = jnp.where(jnp.abs(rz) > 0, rz_new / rz, 0.0)
+        p = jnp.where(done, p, z + beta * p)
+        return (y, r, z, p, rz_new)
+
+    state = (y0, r0, z0, z0, jnp.sum(r0 * z0))
+    y, *_ = jax.lax.fori_loop(0, maxiter, body, state)
+    return y
+
+
+def _solve_system(grid, n, m, target, w, lam, a_diag_min, cg_maxiter, cg_tol,
+                  y0):
+    """Solve (lam*A_smooth + diag(splat(w))) y = splat(target*w)... generic
+    RHS/initialization shared by forward (BilateralGrid.py:128-150) and the
+    gradient solve (152-184)."""
+    w_splat = splat(grid, w)[:, 0]  # [V]
+
+    def a_fn(y):
+        smooth = m[:, None] * y - n[:, None] * blur(grid, n[:, None] * y)
+        return lam * smooth + w_splat[:, None] * y
+
+    a_diag = lam * (m - 2.0 * DIM * n * n) + w_splat
+    a_diag = jnp.maximum(a_diag, a_diag_min)
+    b = splat(grid, target * w)
+    return _pcg(a_fn, b, y0, a_diag, cg_maxiter, cg_tol)
+
+
+class BSParams(NamedTuple):
+    """Per-mode hyperparameters (BilateralLayer.py:131-189)."""
+
+    sigma_luma: float
+    sigma_chroma: float
+    sigma_spatial: float
+    lam: float
+    a_diag_min: float = 1e-5
+    cg_tol: float = 1e-5
+    cg_maxiter: int = 10
+
+
+# mode -> params: 0 albedo, 1 normal, 2 rough, 4 depth
+MODE_PARAMS = {
+    0: BSParams(8.0, 2.0, 7.0, 200.0, cg_maxiter=12),
+    1: BSParams(0.5, 0.5, 0.5, 5.0, cg_maxiter=10),
+    2: BSParams(8.0, 2.0, 8.0, 300.0, cg_maxiter=10),
+    4: BSParams(4.0, 2.0, 4.0, 100.0, cg_maxiter=10),
+}
+
+
+def _solve_image(grid, target, conf, params: BSParams):
+    """Forward solve for one image (BilateralGrid.py:122-150).
+
+    target [N, C], conf [N, 1]. Returns (xhat [N, C], yhat [V, C])."""
+    n, m = bistochastize(grid)
+    w_splat = splat(grid, conf)
+    y0 = splat(grid, target * conf) / jnp.maximum(w_splat, 1e-10)
+    yhat = _solve_system(
+        grid, n, m, target, conf, params.lam, params.a_diag_min,
+        params.cg_maxiter, params.cg_tol, y0,
+    )
+    return slice_(grid, yhat), yhat
+
+
+def _solve_image_grad(grid, g_out, conf, target, yhat, params: BSParams):
+    """Gradient solve for one image (BilateralGrid.py:152-184)."""
+    n, m = bistochastize(grid)
+    ones = jnp.ones_like(conf)
+    y0 = splat(grid, g_out * ones) / jnp.maximum(splat(grid, ones), 1e-10)
+    # NB the reference uses b = splat(grad) (no *w) — pass target=g, w=conf
+    # for the MATRIX but the plain-splat RHS: emulate by solving with
+    # modified rhs: reuse _solve_system pieces manually.
+    w_splat = splat(grid, conf)[:, 0]
+
+    def a_fn(y):
+        smooth = m[:, None] * y - n[:, None] * blur(grid, n[:, None] * y)
+        return params.lam * smooth + w_splat[:, None] * y
+
+    a_diag = jnp.maximum(
+        params.lam * (m - 2.0 * DIM * n * n) + w_splat, params.a_diag_min
+    )
+    b = splat(grid, g_out)
+    yg = _pcg(a_fn, b, y0, a_diag, params.cg_maxiter, params.cg_tol)
+
+    sliced = slice_(grid, yg)
+    grad_target = sliced * conf
+    grad_conf_map = slice_(grid, -yg * yhat) + sliced * target
+    grad_conf = jnp.sum(grad_conf_map, axis=1, keepdims=True)
+    return grad_target, grad_conf
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def bilateral_solve(feature, target, conf, params: BSParams, v_max: int):
+    """Differentiable bilateral solve, batched NHWC.
+
+    feature [B,H,W,3]: guide image for the grid (scaled *255 inside, like
+    BilateralLayer.py:52); target [B,H,W,C]: signal to refine;
+    conf [B,H,W,1]: per-pixel confidence. Gradients flow to target and
+    conf only (the reference's BilateralFunction returns None for image).
+    Returns refined [B,H,W,C].
+    """
+    out, _ = _bs_fwd_impl(feature, target, conf, params, v_max)
+    return out
+
+
+def _grid_of(feature, params, v_max):
+    return build_grid(
+        feature * 255.0, params.sigma_spatial, params.sigma_luma,
+        params.sigma_chroma, v_max,
+    )
+
+
+def _bs_fwd_impl(feature, target, conf, params, v_max):
+    b, h, w, c = target.shape
+
+    def one(feat_i, tgt_i, conf_i):
+        grid = _grid_of(feat_i, params, v_max)
+        xhat, yhat = _solve_image(
+            grid, tgt_i.reshape(-1, c), conf_i.reshape(-1, 1), params
+        )
+        return xhat.reshape(h, w, c), yhat
+
+    xhat, yhat = jax.vmap(one)(feature, target, conf)
+    return xhat, yhat
+
+
+def _bs_fwd(feature, target, conf, params, v_max):
+    xhat, yhat = _bs_fwd_impl(feature, target, conf, params, v_max)
+    return xhat, (feature, target, conf, yhat)
+
+
+def _bs_bwd(params, v_max, res, g):
+    feature, target, conf, yhat = res
+    b, h, w, c = target.shape
+
+    def one(feat_i, g_i, conf_i, tgt_i, yhat_i):
+        grid = _grid_of(feat_i, params, v_max)
+        gt, gc = _solve_image_grad(
+            grid,
+            g_i.reshape(-1, c),
+            conf_i.reshape(-1, 1),
+            tgt_i.reshape(-1, c),
+            yhat_i,
+            params,
+        )
+        return gt.reshape(h, w, c), gc.reshape(h, w, 1)
+
+    gt, gc = jax.vmap(one)(feature, g, conf, target, yhat)
+    return (jnp.zeros_like(feature), gt, gc)
+
+
+bilateral_solve.defvjp(_bs_fwd, _bs_bwd)

@@ -1,0 +1,158 @@
+"""Bilateral refinement step composition (the trainBRDFBilateral wrapper).
+
+Mirrors /root/reference/trainBRDFBilateral.py:264-350: run the frozen BRDF
+stack, refine albedo / rough / depth with the confidence-CNN-weighted
+bilateral solver (normal passes through untouched — the reference only
+refines it at test time, trainBRDFBilateral.py:271-272), LSregress both
+raw and refined predictions onto the GT, and compute the masked errors.
+The solver runs fully on device (ops/bilateral.py) instead of the
+reference's per-image CPU scipy round-trip.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from inverserenderingofindoorscene_tpu.core.scale import ls_regress
+from inverserenderingofindoorscene_tpu.losses.masked import masked_sq_sum
+from inverserenderingofindoorscene_tpu.models.bilateral_net import ConfidenceNet
+from inverserenderingofindoorscene_tpu.ops.bilateral import (
+    MODE_PARAMS,
+    bilateral_solve,
+)
+from inverserenderingofindoorscene_tpu.pipeline.brdf import BRDFNets, brdf_forward
+
+
+@dataclasses.dataclass(frozen=True)
+class BilateralNets:
+    """Confidence CNNs for the albedo/rough/depth refiners."""
+
+    v_max: Optional[int] = None  # default: one vertex per pixel (upper bound)
+
+    @property
+    def nets(self):
+        return {
+            "albedo": ConfidenceNet(in_channels=6),
+            "rough": ConfidenceNet(in_channels=4),
+            "depth": ConfidenceNet(in_channels=4),
+        }
+
+    def init(self, rng, im_hw=(240, 320)):
+        h, w = im_hw
+
+        def _init(rng):
+            im = jnp.zeros((1, h, w, 3), jnp.float32)
+            ks = jax.random.split(rng, 3)
+            params = {}
+            for k, (name, net) in zip(ks, self.nets.items()):
+                c = 3 if name == "albedo" else 1
+                params[name] = net.init(k, im, jnp.zeros((1, h, w, c)))
+            return params
+
+        return jax.jit(_init)(rng)
+
+
+def refine(
+    nets: BilateralNets,
+    params: dict,
+    im: jnp.ndarray,
+    preds: dict,
+):
+    """Refine albedo/rough/depth; returns (refined preds dict, confs dict).
+
+    Call pattern per mode (trainBRDFBilateral.py:267-281):
+      albedo: bs(im, albedoPred.detach(), albedoPred), mode 0
+      rough:  bs(im, albedoPred.detach(), 0.5(roughPred+1)), mode 2,
+              output mapped back with clamp(2x-1, -1, 1)
+      depth:  bs(im, albedoPred.detach(), depthPred), mode 4
+    The grid guide (``feature``) is always the detached albedo prediction.
+    """
+    v_max = nets.v_max or (im.shape[1] * im.shape[2])
+    guide = jax.lax.stop_gradient(preds["albedo"])
+    modules = nets.nets
+
+    conf_a = modules["albedo"].apply(params["albedo"], im, preds["albedo"])
+    albedo_bs = bilateral_solve(
+        guide, preds["albedo"], conf_a, MODE_PARAMS[0], v_max
+    )
+
+    rough01 = 0.5 * (preds["rough"] + 1.0)
+    conf_r = modules["rough"].apply(params["rough"], im, rough01)
+    rough_bs = bilateral_solve(guide, rough01, conf_r, MODE_PARAMS[2], v_max)
+    rough_bs = jnp.clip(2.0 * rough_bs - 1.0, -1.0, 1.0)
+
+    conf_d = modules["depth"].apply(params["depth"], im, preds["depth"])
+    depth_bs = bilateral_solve(
+        guide, preds["depth"], conf_d, MODE_PARAMS[4], v_max
+    )
+
+    refined = {
+        "albedo": albedo_bs,
+        "normal": jax.lax.stop_gradient(preds["normal"]),
+        "rough": rough_bs,
+        "depth": depth_bs,
+    }
+    confs = {"albedo": conf_a, "rough": conf_r, "depth": conf_d}
+    return refined, confs
+
+
+def bilateral_step(
+    brdf_nets: BRDFNets,
+    bs_nets: BilateralNets,
+    brdf_params: dict,
+    bs_params: dict,
+    batch: dict,
+    axis_name: Optional[str] = None,
+):
+    """Frozen BRDF forward + refinement + masked errors.
+
+    Returns (losses dict with raw/bs variants, aux)."""
+    preds = brdf_forward(brdf_nets, brdf_params, batch)
+    preds = jax.tree_util.tree_map(jax.lax.stop_gradient, preds)
+    refined, confs = refine(bs_nets, bs_params, batch["im"], preds)
+
+    seg_brdf, seg_all = batch["seg_brdf"], batch["seg_all"]
+
+    def fit(p, gt, seg, clamp01=False):
+        out = ls_regress(p * seg, gt * seg, p)
+        return jnp.clip(out, 0.0, 1.0) if clamp01 else out
+
+    albedo_gt = batch["albedo"]
+    losses = {}
+    for tag, pr in (("raw", preds), ("bs", refined)):
+        a = fit(pr["albedo"], albedo_gt, seg_brdf, clamp01=True)
+        d = fit(pr["depth"], batch["depth"], seg_all)
+        losses[f"albedo_{tag}"] = masked_sq_sum(
+            a, albedo_gt, seg_brdf, 3.0, axis_name
+        )
+        losses[f"rough_{tag}"] = masked_sq_sum(
+            pr["rough"], batch["rough"], seg_brdf, 1.0, axis_name
+        )
+        losses[f"depth_{tag}"] = masked_sq_sum(
+            jnp.log(d + 1.0), jnp.log(batch["depth"] + 1.0), seg_all, 1.0,
+            axis_name,
+        )
+    losses["normal_raw"] = masked_sq_sum(
+        preds["normal"], batch["normal"], seg_all, 3.0, axis_name
+    )
+    aux = {"preds": preds, "refined": refined, "confs": confs}
+    return losses, aux
+
+
+def bilateral_total_error(
+    losses: dict,
+    albedo_w: float = 1.5,
+    rough_w: float = 0.5,
+    depth_w: float = 0.5,
+) -> jnp.ndarray:
+    """trainBRDFBilateral.py:345-347: 4*albeW*albedoBs + rougW*roughBs +
+    deptW*depthBs (normal skipped)."""
+    return (
+        4.0 * albedo_w * losses["albedo_bs"]
+        + rough_w * losses["rough_bs"]
+        + depth_w * losses["depth_bs"]
+    )

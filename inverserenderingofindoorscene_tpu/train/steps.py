@@ -28,6 +28,11 @@ from inverserenderingofindoorscene_tpu.pipeline.brdf import (
     brdf_step,
     brdf_total_error,
 )
+from inverserenderingofindoorscene_tpu.pipeline.bilateral import (
+    BilateralNets,
+    bilateral_step,
+    bilateral_total_error,
+)
 from inverserenderingofindoorscene_tpu.pipeline.light import (
     LightNets,
     light_step,
@@ -131,6 +136,40 @@ def make_light_train_step(
             use_pallas=use_pallas,
         )
         total = reconst_w * losses["reconst"] + render_w * losses["render"]
+        return total, losses
+
+    def step(state: TrainState, batch):
+        (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch
+        )
+        if axis_name is not None:
+            grads = jax.lax.psum(grads, axis_name)
+        state = state.apply_gradients(grads)
+        metrics = dict(losses)
+        metrics["total"] = total
+        return state, metrics
+
+    return step
+
+
+def make_bilateral_train_step(
+    brdf_nets: BRDFNets,
+    bs_nets: BilateralNets,
+    brdf_params,
+    albedo_w: float = 1.5,
+    rough_w: float = 0.5,
+    depth_w: float = 0.5,
+    axis_name: Optional[str] = None,
+):
+    """trainBRDFBilateral.py:264-352: frozen BRDF nets, optimize the three
+    confidence CNNs through the bilateral solver's custom VJP."""
+    frozen = jax.lax.stop_gradient(brdf_params)
+
+    def loss_fn(bs_params, batch):
+        losses, _ = bilateral_step(
+            brdf_nets, bs_nets, frozen, bs_params, batch, axis_name=axis_name
+        )
+        total = bilateral_total_error(losses, albedo_w, rough_w, depth_w)
         return total, losses
 
     def step(state: TrainState, batch):

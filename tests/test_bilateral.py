@@ -1,0 +1,183 @@
+"""On-device bilateral grid/solver vs the scipy-sparse float64 oracle."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import oracle_bilateral as ob
+from inverserenderingofindoorscene_tpu.ops import bilateral as bl
+
+H, W = 24, 32
+N = H * W
+VMAX = N
+
+
+def make_image(seed=0, smooth=True):
+    rng = np.random.RandomState(seed)
+    im = rng.rand(H, W, 3)
+    if smooth:
+        # piecewise-constant-ish guide so the grid has real structure
+        im = np.round(im * 4) / 4.0
+    return im.astype(np.float64)
+
+
+@pytest.fixture(scope="module")
+def grids():
+    im = make_image()
+    params = dict(sigma_spatial=6.0, sigma_luma=8.0, sigma_chroma=8.0)
+    oracle = ob.GridOracle(im * 255.0, params["sigma_spatial"],
+                           params["sigma_luma"], params["sigma_chroma"])
+    grid = jax.jit(
+        lambda x: bl.build_grid(x, params["sigma_spatial"],
+                                params["sigma_luma"], params["sigma_chroma"],
+                                VMAX)
+    )(jnp.asarray(im * 255.0, jnp.float32))
+    return im, oracle, grid
+
+
+def test_grid_vertex_count(grids):
+    _, oracle, grid = grids
+    assert int(grid.valid.sum()) == oracle.nvertices
+
+
+def test_splat_blur_slice_match(grids):
+    _, oracle, grid = grids
+    rng = np.random.RandomState(1)
+    x = rng.rand(N, 2)
+
+    s_o = oracle.splat(x)  # [V_o, 2]
+    s_j = np.asarray(bl.splat(grid, jnp.asarray(x, jnp.float32)))
+    nv = oracle.nvertices
+    # vertex ORDER should agree: both sort lexicographically... the oracle
+    # orders by hash = c0 + 255 c1 + 255^2 c2 + ... (little-endian radix) while
+    # ours sorts lexicographically by (c0, c1, ..., c4) (big-endian on c0).
+    # Compare as SETS via sorting rows.
+    def canon(a):
+        a = a[: len(s_o)]
+        return a[np.lexsort(a.T)]
+
+    np.testing.assert_allclose(canon(s_j), canon(s_o), rtol=1e-5)
+
+    b_o = oracle.blur(oracle.splat(x))
+    b_j = np.asarray(
+        bl.blur(grid, bl.splat(grid, jnp.asarray(x, jnp.float32)))
+    )[:nv]
+    np.testing.assert_allclose(canon(b_j), canon(b_o), rtol=1e-4)
+
+    sl_o = oracle.slice(oracle.blur(oracle.splat(x)))
+    sl_j = np.asarray(
+        bl.slice_(
+            grid, bl.blur(grid, bl.splat(grid, jnp.asarray(x, jnp.float32)))
+        )
+    )
+    np.testing.assert_allclose(sl_j, sl_o, rtol=1e-4)
+
+
+def test_bistochastize_match(grids):
+    _, oracle, grid = grids
+    n_o, m_o = ob.bistochastize(oracle)
+    n_j, m_j = jax.jit(bl.bistochastize)(grid)
+    nv = oracle.nvertices
+
+    def canon(a):
+        return np.sort(np.asarray(a)[:nv])
+
+    np.testing.assert_allclose(canon(n_j), np.sort(n_o), rtol=1e-4)
+    np.testing.assert_allclose(canon(m_j), np.sort(m_o), rtol=1e-4)
+
+
+def test_solve_matches_oracle(grids):
+    im, oracle, grid = grids
+    rng = np.random.RandomState(2)
+    target = rng.rand(N, 3)
+    conf = rng.rand(N, 1) * 0.9 + 0.1
+    params = bl.BSParams(8.0, 8.0, 6.0, 50.0, cg_maxiter=30)
+
+    xhat_o, _ = ob.solve_oracle(
+        oracle, target, conf, lam=50.0, cg_maxiter=30
+    )
+    xhat_j, _ = jax.jit(
+        lambda t, c: bl._solve_image(grid, t, c, params)
+    )(jnp.asarray(target, jnp.float32), jnp.asarray(conf, jnp.float32))
+    # pixel-space outputs must agree regardless of vertex ordering
+    np.testing.assert_allclose(
+        np.asarray(xhat_j), xhat_o, rtol=5e-3, atol=5e-3
+    )
+
+
+def test_custom_vjp_matches_reference_equations(grids):
+    """grad wrt target of sum(w_out * xhat) must equal slice(yg)*conf where
+    yg solves A yg = splat(w_out) — i.e. the solveGrad path, which for the
+    linear-in-target forward is also checkable by finite differences."""
+    im, _, _ = grids
+    rng = np.random.RandomState(3)
+    feature = jnp.asarray(im[None], jnp.float32)
+    target = jnp.asarray(rng.rand(1, H, W, 2), jnp.float32)
+    conf = jnp.asarray(rng.rand(1, H, W, 1) * 0.9 + 0.1, jnp.float32)
+    params = bl.BSParams(8.0, 8.0, 6.0, 20.0, cg_maxiter=40, cg_tol=1e-7)
+    gw = jnp.asarray(rng.rand(1, H, W, 2), jnp.float32)
+
+    def loss(t):
+        out = bl.bilateral_solve(feature, t, conf, params, VMAX)
+        return jnp.sum(out * gw)
+
+    g = jax.jit(jax.grad(loss))(target)
+    # finite differences on a few random pixels
+    eps = 1e-2
+    for _ in range(5):
+        i, j, k = rng.randint(H), rng.randint(W), rng.randint(2)
+        tp = target.at[0, i, j, k].add(eps)
+        tm = target.at[0, i, j, k].add(-eps)
+        fd = (float(loss(tp)) - float(loss(tm))) / (2 * eps)
+        np.testing.assert_allclose(
+            float(g[0, i, j, k]), fd, rtol=5e-2, atol=5e-3
+        )
+
+
+def test_conf_grad_finite():
+    rng = np.random.RandomState(4)
+    im = make_image(5)
+    feature = jnp.asarray(im[None], jnp.float32)
+    target = jnp.asarray(rng.rand(1, H, W, 1), jnp.float32)
+    conf = jnp.asarray(rng.rand(1, H, W, 1) * 0.9 + 0.1, jnp.float32)
+    params = bl.MODE_PARAMS[0]
+
+    def loss(c):
+        out = bl.bilateral_solve(feature, target, c, params, VMAX)
+        return jnp.sum(out**2)
+
+    g = jax.jit(jax.grad(loss))(conf)
+    assert np.all(np.isfinite(np.asarray(g)))
+    assert float(jnp.abs(g).max()) > 0
+
+
+def test_bilateral_train_step():
+    """Full trainBRDFBilateral-equivalent step at tiny resolution."""
+    from inverserenderingofindoorscene_tpu.data.synthetic import synthetic_batch
+    from inverserenderingofindoorscene_tpu.pipeline.bilateral import BilateralNets
+    from inverserenderingofindoorscene_tpu.pipeline.brdf import BRDFNets
+    from inverserenderingofindoorscene_tpu.train.steps import (
+        create_train_state,
+        make_bilateral_train_step,
+        reference_adam,
+    )
+
+    im_hw = (32, 32)
+    brdf_nets = BRDFNets(cascade_level=0)
+    bs_nets = BilateralNets()
+    bp = brdf_nets.init(jax.random.PRNGKey(0), im_hw)
+    sp = bs_nets.init(jax.random.PRNGKey(1), im_hw)
+    batch = synthetic_batch(batch=2, im_hw=im_hw, env_rc=(16, 16), seed=0)
+    state = create_train_state(sp, reference_adam(1e-4))
+    step = jax.jit(make_bilateral_train_step(brdf_nets, bs_nets, bp))
+    state, metrics = step(state, batch)
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), (k, float(v))
+    assert int(state.step) == 1
+    # gradient actually reached the confidence CNNs
+    gsum = jax.tree_util.tree_reduce(
+        lambda a, x: a + float(jnp.sum(jnp.abs(x))), state.params, 0.0
+    )
+    assert np.isfinite(gsum)
