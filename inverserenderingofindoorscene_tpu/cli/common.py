@@ -1,0 +1,118 @@
+"""Shared driver plumbing for the stage CLIs.
+
+Covers what every reference driver repeats (argparse conventions,
+experiment-dir naming contracts trainBRDF.py:65-69 / trainLight.py:65-67 /
+trainBRDFBilateral.py:71-75, seed pinning trainBRDF.py:71-74, checkpoint
+cadence trainBRDF.py:392-396) once, plus batch staging to device.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import os.path as osp
+import random
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def base_parser(description: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=description)
+    p.add_argument("--dataRoot", help="path to the OpenRooms dataset")
+    p.add_argument("--experiment", default=None, help="experiment directory")
+    p.add_argument("--imHeight", type=int, default=240)
+    p.add_argument("--imWidth", type=int, default=320)
+    p.add_argument("--envRow", type=int, default=120)
+    p.add_argument("--envCol", type=int, default=160)
+    p.add_argument("--envHeight", type=int, default=8)
+    p.add_argument("--envWidth", type=int, default=16)
+    p.add_argument("--SGNum", type=int, default=12)
+    p.add_argument("--cascadeLevel", type=int, default=0)
+    p.add_argument("--batchSize", type=int, default=16)
+    p.add_argument("--nepoch", type=int, default=14)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--numWorkers", type=int, default=4)
+    p.add_argument("--saveEvery", type=int, default=1, help="epochs between checkpoints")
+    p.add_argument("--maxSteps", type=int, default=None,
+                   help="optional cap on steps per epoch (smoke runs)")
+    return p
+
+
+def experiment_dir(opt, kind: str) -> str:
+    """Reference naming contracts so stages find each other's checkpoints."""
+    if opt.experiment is not None:
+        exp = opt.experiment
+    elif kind == "brdf":
+        exp = "check_cascade%d_w%d_h%d" % (
+            opt.cascadeLevel, opt.imWidth, opt.imHeight
+        )
+    elif kind == "light":
+        exp = "check_cascadeLight%d_sg%d_offset%.1f" % (
+            opt.cascadeLevel, opt.SGNum, getattr(opt, "offset", 1.0)
+        )
+    elif kind == "bs":
+        exp = "checkBs_cascade%d_w%d_h%d" % (
+            opt.cascadeLevel, opt.imWidth, opt.imHeight
+        )
+    else:
+        exp = "check_" + kind
+    os.makedirs(exp, exist_ok=True)
+    return exp
+
+
+def pin_seeds(seed: int):
+    random.seed(seed)
+    np.random.seed(seed)
+    return jax.random.PRNGKey(seed)
+
+
+def stage_batch(batch: dict, drop=("name",)):
+    """numpy batch dict -> device jnp arrays (the .cuda() staging loop
+    equivalent, e.g. trainBRDF.py:149-174 — one device_put, no per-tensor
+    copies)."""
+    out = {}
+    for k, v in batch.items():
+        if k in drop:
+            continue
+        out[k] = jnp.asarray(v)
+    return out
+
+
+def make_loader(opt, phase: str, is_light: bool, shuffle=True):
+    from inverserenderingofindoorscene_tpu.data.openrooms import (
+        BatchIterator,
+        OpenRoomsDataset,
+    )
+
+    ds = OpenRoomsDataset(
+        opt.dataRoot,
+        im_hw=(opt.imHeight, opt.imWidth),
+        phase=phase,
+        cascade_level=opt.cascadeLevel,
+        is_light=is_light,
+        is_all_light=is_light,
+        env_hw=(opt.envHeight, opt.envWidth),
+        env_rc=(opt.envRow, opt.envCol),
+        sg_num=opt.SGNum,
+        seed=opt.seed,
+    )
+    return BatchIterator(
+        ds, opt.batchSize, shuffle=shuffle, num_workers=opt.numWorkers,
+        seed=opt.seed,
+    )
+
+
+def dump_preview(exp, epoch, step, arrays: dict):
+    """Periodic PNG dumps (trainBRDF.py:334-369 cadence is the caller's)."""
+    from inverserenderingofindoorscene_tpu.utils.io import write_image
+
+    for name, (img, gamma) in arrays.items():
+        img = np.asarray(jax.device_get(img))
+        if img.ndim == 4:
+            img = img[0]
+        write_image(
+            img, osp.join(exp, f"{name}_{epoch}_{step}.png"), gamma=gamma
+        )

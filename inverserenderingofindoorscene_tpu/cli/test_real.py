@@ -1,0 +1,388 @@
+"""In-the-wild two-cascade inference (the testReal.py equivalent).
+
+Per image (/root/reference/testReal.py:285-660): aspect-preserving resize
+(fov 57 landscape / 42.75 portrait), gamma 2.2 to linear, cascade-0 BRDF ->
+light -> physically-based render -> global light/albedo scale
+disambiguation from the diffuse/specular fit coefficients -> cascade-1
+(17-ch input with the rendered components) -> light 1 -> bilateral
+refinement of albedo/rough/depth, then writes npy/png/npz products.
+
+Usage: python -m inverserenderingofindoorscene_tpu.cli.test_real \
+    --imList images.txt --output out/ [--level 2] [--isLight] [--isBS]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import os.path as osp
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from inverserenderingofindoorscene_tpu.core import sg
+from inverserenderingofindoorscene_tpu.core.imageops import resize_bilinear
+from inverserenderingofindoorscene_tpu.core.render_layer import RenderLayer
+from inverserenderingofindoorscene_tpu.core.scale import ls_regress_diff_spec
+from inverserenderingofindoorscene_tpu.ops.bilateral import (
+    MODE_PARAMS,
+    bilateral_solve,
+)
+from inverserenderingofindoorscene_tpu.pipeline.brdf import BRDFNets
+from inverserenderingofindoorscene_tpu.pipeline.light import (
+    LightNets,
+    light_forward,
+    mean_normalize,
+)
+from inverserenderingofindoorscene_tpu.utils.io import (
+    write_envmap_mosaic,
+    write_image,
+)
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--imList", required=True,
+                   help="text file of image paths (png/jpg)")
+    p.add_argument("--output", required=True)
+    p.add_argument("--level", type=int, default=2, choices=[1, 2])
+    p.add_argument("--isLight", action="store_true")
+    p.add_argument("--isBS", action="store_true")
+    p.add_argument("--imHeight", type=int, default=240)
+    p.add_argument("--imWidth", type=int, default=320)
+    p.add_argument("--envRow", type=int, default=120)
+    p.add_argument("--envCol", type=int, default=160)
+    p.add_argument("--envHeight", type=int, default=8)
+    p.add_argument("--envWidth", type=int, default=16)
+    p.add_argument("--SGNum", type=int, default=12)
+    p.add_argument("--experimentBRDF0", default=None)
+    p.add_argument("--experimentBRDF1", default=None)
+    p.add_argument("--experimentLight0", default=None)
+    p.add_argument("--experimentLight1", default=None)
+    p.add_argument("--epochBRDF", type=int, default=None)
+    p.add_argument("--epochLight", type=int, default=None)
+    p.add_argument("--seed", type=int, default=0)
+    return p.parse_args(argv)
+
+
+def load_stack(opt):
+    """Build 2x BRDF + 2x Light stacks and load checkpoints if present."""
+    from inverserenderingofindoorscene_tpu.train.steps import (
+        create_train_state,
+        reference_adam,
+    )
+    from inverserenderingofindoorscene_tpu.utils import checkpoint as ckpt
+
+    rng = jax.random.PRNGKey(opt.seed)
+    stacks = []
+    for lvl in range(opt.level):
+        k1, k2, rng = jax.random.split(rng, 3)
+        brdf = BRDFNets(cascade_level=lvl)
+        bp = brdf.init(k1, (opt.imHeight, opt.imWidth))
+        exp = getattr(opt, f"experimentBRDF{lvl}") or (
+            "check_cascade%d_w%d_h%d" % (lvl, opt.imWidth, opt.imHeight)
+        )
+        ep = opt.epochBRDF
+        if ep is None:
+            ep = ckpt.latest_epoch(exp, "brdf", lvl)
+        if ep is not None:
+            st = create_train_state(bp, reference_adam(1e-4))
+            bp = ckpt.restore_checkpoint(exp, "brdf", lvl, ep, st).params
+            print(f"loaded BRDF level {lvl} from {exp} epoch {ep}")
+
+        light = LightNets(
+            sg_num=opt.SGNum, cascade_level=lvl,
+            env_rows=opt.envRow, env_cols=opt.envCol,
+            env_height=opt.envHeight, env_width=opt.envWidth,
+        )
+        lp = light.init(k2)
+        exp = getattr(opt, f"experimentLight{lvl}") or (
+            "check_cascadeLight%d_sg%d_offset1.0" % (lvl, opt.SGNum)
+        )
+        ep = opt.epochLight
+        if ep is None:
+            ep = ckpt.latest_epoch(exp, "light", lvl)
+        if ep is not None:
+            st = create_train_state(lp, reference_adam(1e-4))
+            lp = ckpt.restore_checkpoint(exp, "light", lvl, ep, st).params
+            print(f"loaded Light level {lvl} from {exp} epoch {ep}")
+        stacks.append((brdf, bp, light, lp))
+    return stacks
+
+
+def load_real_image(path, im_hw, env_rc):
+    """Aspect-preserving resize + fov selection (testReal.py:290-343).
+
+    Returns (im [1,h,w,3] linear, im_small [1,eh,ew,3], fov_deg)."""
+    import cv2
+
+    im_cpu = cv2.imread(path)
+    assert im_cpu is not None, path
+    im_cpu = im_cpu[:, :, ::-1]
+    nh, nw = im_cpu.shape[:2]
+
+    def fit(max_h, max_w):
+        if nh < nw:
+            w = max_w
+            h = int(float(max_w) / nw * nh)
+        else:
+            h = max_h
+            w = int(float(max_h) / nh * nw)
+        interp = cv2.INTER_AREA if nh >= h else cv2.INTER_LINEAR
+        out = cv2.resize(im_cpu, (w, h), interpolation=interp)
+        out = out.astype(np.float32) / 255.0
+        out = out / out.max()
+        return (out ** 2.2)[None]
+
+    im = fit(*im_hw)
+    im_small = fit(*env_rc)
+    fov = 57.0 if nh < nw else 42.75
+    return im, im_small, fov
+
+
+def predict_brdf(brdf_nets, bp, im, extra=None):
+    """Encoder+decoders with the testReal mean normalization (365-375)."""
+    inp = im if extra is None else jnp.concatenate([im] + extra, axis=-1)
+    feats = brdf_nets.encoder.apply(bp["encoder"], inp)
+    decs = brdf_nets.decoders
+    preds = {
+        "albedo": 0.5 * (decs["albedo"].apply(bp["albedo"], im, feats) + 1.0),
+        "normal": decs["normal"].apply(bp["normal"], im, feats),
+        "rough": decs["rough"].apply(bp["rough"], im, feats),
+        "depth": 0.5 * (decs["depth"].apply(bp["depth"], im, feats) + 1.0),
+    }
+    preds["albedo"] = mean_normalize(preds["albedo"])
+    preds["depth"] = mean_normalize(preds["depth"])
+    return preds
+
+
+def predict_light_core(light_nets, lp, im, preds, im_small, fov,
+                       env_pre=None):
+    """Jittable part of the light stack + render + LSregressDiffSpec
+    (testReal.py:382-419). The data-dependent cLight/cAlbedo branching
+    stays in Python (predict_light)."""
+    eh, ew = im_small.shape[1:3]
+    light_hw = (eh * 4, ew * 4)
+    inp = jnp.concatenate(
+        [
+            resize_bilinear(im, light_hw),
+            resize_bilinear(preds["albedo"], light_hw),
+            0.5 * (resize_bilinear(preds["normal"], light_hw) + 1.0),
+            0.5 * (resize_bilinear(preds["rough"], light_hw) + 1.0),
+            resize_bilinear(preds["depth"], light_hw),
+        ],
+        axis=-1,
+    )
+    feats = light_nets.encoder.apply(lp["encoder"], inp, env_pre)
+    decs = light_nets.decoders
+    axis = decs["axis"].apply(lp["axis"], feats, (eh, ew))
+    lamb01 = decs["lamb"].apply(lp["lamb"], feats, (eh, ew))
+    weight01 = decs["weight"].apply(lp["weight"], feats, (eh, ew))
+    b = axis.shape[0]
+    sg_flat = jnp.concatenate(
+        [axis.reshape(b, eh, ew, -1), lamb01,
+         weight01.reshape(b, eh, ew, -1)],
+        axis=-1,
+    )
+    env_img, _, _, _ = sg.squashed_sg_to_envmap(
+        axis, lamb01, weight01, light_nets.env_height, light_nets.env_width
+    )
+
+    layer = RenderLayer(
+        env_rows=eh, env_cols=ew,
+        env_height=light_nets.env_height, env_width=light_nets.env_width,
+        fov_deg=fov,
+    )
+    diffuse, specular = layer.forward_env(
+        preds["albedo"], preds["normal"], preds["rough"], env_img
+    )
+    diffuse_new, specular_new = ls_regress_diff_spec(
+        diffuse, specular, im_small, diffuse, specular
+    )
+    return {
+        "sg_flat": sg_flat,
+        "env_img": env_img,
+        "diffuse_raw": diffuse,
+        "specular_raw": specular,
+        "diffuse": diffuse_new,
+        "specular": specular_new,
+        "albedo_max": jnp.max(preds["albedo"]),
+    }
+
+
+def predict_light(core_out):
+    """cLight/cAlbedo global-scale disambiguation (testReal.py:421-432) —
+    Python branching on concrete values, applied to a jitted core output."""
+    c_diff = float(
+        jnp.sum(core_out["diffuse"]) / jnp.sum(core_out["diffuse_raw"])
+    )
+    c_spec = float(
+        jnp.sum(core_out["specular"]) / jnp.sum(core_out["specular_raw"])
+    )
+    albedo_max = float(core_out["albedo_max"])
+    if c_spec < 1e-3:
+        c_albedo = 1.0 / albedo_max
+        c_light = c_diff / c_albedo
+    else:
+        c_light = c_spec
+        c_albedo = float(np.clip(c_diff / c_light, 1e-3, 1.0 / albedo_max))
+        c_light = c_diff / c_albedo
+    return {
+        "sg_flat": core_out["sg_flat"],
+        "env_img": core_out["env_img"] * c_light,
+        "diffuse": core_out["diffuse"],
+        "specular": core_out["specular"],
+        "c_albedo": c_albedo,
+        "c_light": c_light,
+    }
+
+
+def refine_bs(im, preds):
+    """Bilateral refinement of albedo/rough/depth (testReal.py:532-540),
+    with the unit confidence map (no trained conf CNN ckpt at inference
+    falls back to ones)."""
+    h, w = im.shape[1:3]
+    conf = jnp.ones((1, h, w, 1), jnp.float32)
+    guide = preds["albedo"]
+    albedo = bilateral_solve(guide, preds["albedo"], conf, MODE_PARAMS[0], h * w)
+    rough01 = bilateral_solve(
+        guide, 0.5 * (preds["rough"] + 1.0), conf, MODE_PARAMS[2], h * w
+    )
+    rough = jnp.clip(2.0 * rough01 - 1.0, -1.0, 1.0)
+    depth = bilateral_solve(guide, preds["depth"], conf, MODE_PARAMS[4], h * w)
+    return {"albedo": albedo, "rough": rough, "depth": depth}
+
+
+def main(argv=None):
+    opt = parse_args(argv)
+    os.makedirs(opt.output, exist_ok=True)
+    stacks = load_stack(opt)
+
+    with open(opt.imList) as f:
+        im_list = [x.strip() for x in f if x.strip()]
+
+    # Jitted closures (recompiled per unique image aspect, cached after).
+    import functools
+
+    brdf0_nets, bp0_ = stacks[0][0], stacks[0][1]
+    light0_nets, lp0_ = stacks[0][2], stacks[0][3]
+    jit_brdf0 = jax.jit(lambda im: predict_brdf(brdf0_nets, bp0_, im))
+    jit_light0 = jax.jit(
+        lambda im, preds, im_small, fov: predict_light_core(
+            light0_nets, lp0_, im, preds, im_small, fov
+        ),
+        static_argnums=(3,),
+    )
+    if opt.level == 2:
+        brdf1_nets, bp1_ = stacks[1][0], stacks[1][1]
+        light1_nets, lp1_ = stacks[1][2], stacks[1][3]
+        def _cascade1(im, preds, diffuse, specular):
+            hw = im.shape[1:3]
+            extra = [
+                resize_bilinear(preds["albedo"], hw),
+                0.5 * (resize_bilinear(preds["normal"], hw) + 1.0),
+                0.5 * (resize_bilinear(preds["rough"], hw) + 1.0),
+                resize_bilinear(preds["depth"], hw),
+                resize_bilinear(diffuse, hw),
+                resize_bilinear(specular, hw),
+            ]
+            return predict_brdf(brdf1_nets, bp1_, im, extra)
+
+        jit_brdf1 = jax.jit(_cascade1)
+        jit_light1 = jax.jit(
+            lambda im, preds, im_small, fov, env_pre: predict_light_core(
+                light1_nets, lp1_, im, preds, im_small, fov, env_pre
+            ),
+            static_argnums=(3,),
+        )
+    jit_bs = jax.jit(refine_bs)
+
+    for im_path in im_list:
+        name = osp.splitext(osp.basename(im_path))[0]
+        im, im_small, fov = load_real_image(
+            im_path, (opt.imHeight, opt.imWidth), (opt.envRow, opt.envCol)
+        )
+        im = jnp.asarray(im)
+        im_small = jnp.asarray(im_small)
+
+        # cascade 0
+        preds = jit_brdf0(im)
+        all_preds = [preds]
+        light_out = None
+        if opt.isLight or opt.level == 2:
+            light_out = predict_light(jit_light0(im, preds, im_small, fov))
+
+        # cascade 1
+        if opt.level == 2:
+            preds = jit_brdf1(
+                im, preds, light_out["diffuse"], light_out["specular"]
+            )
+            all_preds.append(preds)
+            if opt.isLight:
+                light_out = predict_light(
+                    jit_light1(im, preds, im_small, fov,
+                               light_out["sg_flat"])
+                )
+
+        # bilateral refinement
+        bs_out = jit_bs(im, preds) if opt.isBS else None
+
+        # write products
+        def out(n):
+            return osp.join(opt.output, n)
+
+        final = all_preds[-1]
+        lvl = len(all_preds) - 1
+        np.save(out(f"{name}_albedo{lvl}.npy"), np.asarray(final["albedo"][0]))
+        np.save(out(f"{name}_normal{lvl}.npy"), np.asarray(final["normal"][0]))
+        np.save(out(f"{name}_rough{lvl}.npy"), np.asarray(final["rough"][0]))
+        np.save(out(f"{name}_depth{lvl}.npy"), np.asarray(final["depth"][0]))
+        write_image(
+            np.asarray(final["albedo"][0]), out(f"{name}_albedo{lvl}.png"),
+            gamma=True,
+        )
+        write_image(
+            np.asarray(0.5 * (final["normal"][0] + 1.0)),
+            out(f"{name}_normal{lvl}.png"),
+        )
+        write_image(
+            np.asarray(0.5 * (final["rough"][0] + 1.0)),
+            out(f"{name}_rough{lvl}.png"),
+        )
+        d = np.asarray(final["depth"][0])
+        write_image(1 / np.clip(d, 0.1, None) * 0.3,
+                    out(f"{name}_depth{lvl}.png"))
+        if light_out is not None:
+            np.savez_compressed(
+                out(f"{name}_env{lvl}.npz"),
+                data=np.asarray(light_out["env_img"][0]),
+            )
+            np.save(out(f"{name}_sg{lvl}.npy"),
+                    np.asarray(light_out["sg_flat"][0]))
+            write_envmap_mosaic(
+                np.asarray(light_out["env_img"][0]),
+                out(f"{name}_envmap{lvl}.png"),
+                env_height=opt.envHeight, env_width=opt.envWidth,
+            )
+            rendered = np.asarray(
+                (light_out["diffuse"] + light_out["specular"])[0]
+            )
+            write_image(rendered, out(f"{name}_rendered{lvl}.png"), gamma=True)
+            np.save(
+                out(f"{name}_cLight{lvl}.npy"),
+                np.array([light_out["c_albedo"], light_out["c_light"]]),
+            )
+        if bs_out is not None:
+            write_image(np.asarray(bs_out["albedo"][0]),
+                        out(f"{name}_albedoBs{lvl}.png"), gamma=True)
+            write_image(np.asarray(0.5 * (bs_out["rough"][0] + 1)),
+                        out(f"{name}_roughBs{lvl}.png"))
+            np.save(out(f"{name}_depthBs{lvl}.npy"),
+                    np.asarray(bs_out["depth"][0]))
+        print(f"done {im_path} -> {opt.output}/{name}_*")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,84 @@
+"""Cascade BRDF training driver (the trainBRDF.py equivalent).
+
+One jitted ``train_step`` per batch; Adam(1e-4, betas=(0.5, 0.999)) over
+encoder+4 decoders with LR halved every 10 epochs; orbax checkpoints per
+epoch under the reference's ``check_cascade{k}_w{W}_h{H}`` naming; loss
+``4*1.5*albedo + 1.0*normal + 0.5*rough + 0.5*depth``
+(/root/reference/trainBRDF.py).
+
+Usage: python -m inverserenderingofindoorscene_tpu.cli.train_brdf --dataRoot ...
+"""
+
+from __future__ import annotations
+
+import jax
+
+from inverserenderingofindoorscene_tpu.cli import common
+from inverserenderingofindoorscene_tpu.pipeline.brdf import BRDFNets
+from inverserenderingofindoorscene_tpu.train.steps import (
+    create_train_state,
+    make_brdf_train_step,
+    reference_adam,
+)
+from inverserenderingofindoorscene_tpu.utils import checkpoint as ckpt
+from inverserenderingofindoorscene_tpu.utils.logging import MetricLogger
+
+
+def parse_args(argv=None):
+    p = common.base_parser(__doc__)
+    p.add_argument("--albedoWeight", type=float, default=1.5)
+    p.add_argument("--normalWeight", type=float, default=1.0)
+    p.add_argument("--roughWeight", type=float, default=0.5)
+    p.add_argument("--depthWeight", type=float, default=0.5)
+    p.add_argument("--resumeEpoch", type=int, default=None)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    opt = parse_args(argv)
+    exp = common.experiment_dir(opt, "brdf")
+    rng = common.pin_seeds(opt.seed)
+
+    nets = BRDFNets(cascade_level=opt.cascadeLevel)
+    params = nets.init(rng, (opt.imHeight, opt.imWidth))
+
+    loader = common.make_loader(opt, "TRAIN", is_light=False)
+    steps_per_10_epochs = 10 * max(len(loader), 1)
+    tx = reference_adam(1e-4, epoch_decay_steps=steps_per_10_epochs)
+    state = create_train_state(params, tx)
+
+    start_epoch = 0
+    resume = opt.resumeEpoch
+    if resume is None:
+        resume = ckpt.latest_epoch(exp, "brdf", opt.cascadeLevel)
+    if resume is not None:
+        state = ckpt.restore_checkpoint(
+            exp, "brdf", opt.cascadeLevel, resume, state
+        )
+        start_epoch = resume + 1
+        print(f"resumed from epoch {resume}")
+
+    step_fn = jax.jit(
+        make_brdf_train_step(
+            nets, opt.albedoWeight, opt.normalWeight, opt.roughWeight,
+            opt.depthWeight,
+        ),
+        donate_argnums=(0,),
+    )
+
+    logger = MetricLogger(f"{exp}/trainingLog.txt")
+    for epoch in range(start_epoch, opt.nepoch):
+        for j, np_batch in enumerate(loader):
+            if opt.maxSteps is not None and j >= opt.maxSteps:
+                break
+            batch = common.stage_batch(np_batch)
+            state, metrics = step_fn(state, batch)
+            logger.log(epoch, j, {k: float(v) for k, v in metrics.items()})
+        if epoch % opt.saveEvery == 0 or epoch == opt.nepoch - 1:
+            ckpt.save_checkpoint(exp, "brdf", opt.cascadeLevel, epoch, state)
+            logger.save_curves(exp, epoch)
+    logger.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -31,7 +31,6 @@ class RenderLayer:
     env_width: int = 16
     fov_deg: float = 57.0
     f0: float = 0.05
-    use_pallas: bool = False
 
     def forward_env(
         self,
@@ -51,19 +50,6 @@ class RenderLayer:
         albedo = imageops.adaptive_avg_pool(albedo, (r, c))
         normal = imageops.adaptive_avg_pool(normal, (r, c))
         rough = imageops.adaptive_avg_pool(rough, (r, c))
-        if self.use_pallas:
-            from inverserenderingofindoorscene_tpu.ops import sg_render
-
-            return sg_render.render_envmap_pallas(
-                albedo,
-                normal,
-                rough,
-                envmap,
-                fov_deg=self.fov_deg,
-                f0=self.f0,
-                env_height=self.env_height,
-                env_width=self.env_width,
-            )
         return brdf.render_envmap(
             albedo,
             normal,

@@ -121,6 +121,7 @@ class OpenRoomsDataset:
             return p
 
         return {
+            "im": im_path,
             "albedo": swap("imbaseColor_", "png", ("DiffLight",)),
             "normal": swap("imnormal_", "png", ("DiffLight",)),
             "rough": swap("imroughness_", "png", ("DiffLight",)),

@@ -209,19 +209,38 @@ def light_step(
         env_pred, env_gt, seg_env, offset, axis_name
     )
 
-    layer = RenderLayer(
-        env_rows=r,
-        env_cols=c,
-        env_height=light_nets.env_height,
-        env_width=light_nets.env_width,
-        use_pallas=use_pallas,
-    )
-    diffuse, specular = layer.forward_env(
-        jax.lax.stop_gradient(preds["albedo"]),
-        preds["normal"],
-        preds["rough"],
-        env_pred,
-    )
+    if use_pallas:
+        # Fused path: evaluate SG + shade in ONE Pallas kernel; the decoded
+        # env_pred above is only needed for the reconstruction loss, the
+        # render loss never materializes per-direction tensors in HBM.
+        from inverserenderingofindoorscene_tpu.ops.sg_render import render_sg
+
+        diffuse, specular = render_sg(
+            adaptive_avg_pool(jax.lax.stop_gradient(preds["albedo"]), (r, c)),
+            adaptive_avg_pool(preds["normal"], (r, c)),
+            adaptive_avg_pool(preds["rough"], (r, c)),
+            sg_out["axis"],
+            lamb,
+            weight,
+            env_height=light_nets.env_height,
+            env_width=light_nets.env_width,
+            # Mosaic compilation needs a TPU; fall back to the Pallas
+            # interpreter elsewhere (CPU tests / virtual meshes).
+            interpret=jax.default_backend() != "tpu",
+        )
+    else:
+        layer = RenderLayer(
+            env_rows=r,
+            env_cols=c,
+            env_height=light_nets.env_height,
+            env_width=light_nets.env_width,
+        )
+        diffuse, specular = layer.forward_env(
+            jax.lax.stop_gradient(preds["albedo"]),
+            preds["normal"],
+            preds["rough"],
+            env_pred,
+        )
     render_err, rendered = render_error(
         diffuse, specular, im_small, seg_small, axis_name
     )

@@ -152,6 +152,58 @@ def make_light_train_step(
     return step
 
 
+def make_iiw_train_step(nets: BRDFNets, rank_w: float = 2.0,
+                        axis_name: Optional[str] = None):
+    """The IIW half of the alternating fine-tune cycle
+    (trainFineTuneIIW.py:255-256): loss = rankW*(eq + darker)."""
+    from inverserenderingofindoorscene_tpu.pipeline.finetune import iiw_step
+
+    def loss_fn(params, batch):
+        _, eq_l, dk_l = iiw_step(nets, params, batch)
+        if axis_name is not None:
+            eq_l = jax.lax.pmean(eq_l, axis_name)
+            dk_l = jax.lax.pmean(dk_l, axis_name)
+        return rank_w * (eq_l + dk_l), {"eq": eq_l, "darker": dk_l}
+
+    def step(state: TrainState, batch):
+        (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch
+        )
+        if axis_name is not None:
+            grads = jax.lax.psum(grads, axis_name)
+        state = state.apply_gradients(grads)
+        metrics = dict(losses)
+        metrics["total"] = total
+        return state, metrics
+
+    return step
+
+
+def make_nyu_train_step(nets: BRDFNets, normal_w: float = 4.5,
+                        depth_w: float = 4.5,
+                        axis_name: Optional[str] = None):
+    """The NYU half of the alternating fine-tune cycle
+    (trainFineTuneNYU.py:263): loss = normNYUW*normal + depthNYUW*depth."""
+    from inverserenderingofindoorscene_tpu.pipeline.finetune import nyu_step
+
+    def loss_fn(params, batch):
+        _, losses = nyu_step(nets, params, batch, axis_name=axis_name)
+        return normal_w * losses["normal"] + depth_w * losses["depth"], losses
+
+    def step(state: TrainState, batch):
+        (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch
+        )
+        if axis_name is not None:
+            grads = jax.lax.psum(grads, axis_name)
+        state = state.apply_gradients(grads)
+        metrics = dict(losses)
+        metrics["total"] = total
+        return state, metrics
+
+    return step
+
+
 def make_bilateral_train_step(
     brdf_nets: BRDFNets,
     bs_nets: BilateralNets,

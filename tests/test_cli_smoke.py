@@ -1,0 +1,178 @@
+"""End-to-end CLI smoke tests over a tiny on-disk OpenRooms fixture.
+
+Builds a real dataset tree (hdr/png/dat/h5 files with the reference's
+formats), then runs each stage driver for a couple of steps. This is the
+integration test of loaders + pipelines + train steps + checkpointing.
+"""
+
+import os
+import os.path as osp
+import struct
+
+import numpy as np
+import pytest
+
+IM_HW = (64, 64)
+ENV_RC = (32, 32)
+NIMG = 3
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    cv2 = pytest.importorskip("cv2")
+    root = tmp_path_factory.mktemp("openrooms")
+    scene_rel = "scene0001"
+    (root / "main_xml" / scene_rel).mkdir(parents=True)
+    scene = root / "main_xml" / scene_rel
+    (root / "train.txt").write_text(scene_rel + "\n")
+    (root / "test.txt").write_text(scene_rel + "\n")
+
+    rng = np.random.RandomState(0)
+    h, w = IM_HW
+    r, c = ENV_RC
+    for i in range(1, NIMG + 1):
+        hdr = rng.rand(h, w, 3).astype(np.float32)
+        assert cv2.imwrite(str(scene / f"im_{i}.hdr"), hdr[:, :, ::-1])
+
+        def png(name, arr):
+            cv2.imwrite(str(scene / name), (arr * 255).astype(np.uint8))
+
+        png(f"imbaseColor_{i}.png", rng.rand(h, w, 3))
+        n = rng.uniform(-1, 1, (h, w, 3))
+        n[..., 2] = np.abs(n[..., 2]) + 0.3
+        n /= np.linalg.norm(n, axis=2, keepdims=True)
+        png(f"imnormal_{i}.png", 0.5 * (n + 1))
+        png(f"imroughness_{i}.png", rng.rand(h, w, 3))
+        # 3-band mask: ~60% obj (255), ~20% area (128), rest env (0);
+        # blocky so the 7x7 light-mode erosion keeps most of segObj
+        m = np.kron(rng.rand(h // 16, w // 16), np.ones((16, 16)))
+        mask = np.where(m < 0.6, 255, np.where(m < 0.8, 128, 0)).astype(
+            np.uint8
+        )
+        cv2.imwrite(str(scene / f"immask_{i}.png"),
+                    np.stack([mask] * 3, axis=-1))
+        depth = (rng.rand(h, w).astype(np.float32) * 4 + 0.2)
+        with open(scene / f"imdepth_{i}.dat", "wb") as f:
+            f.write(struct.pack("i", h))
+            f.write(struct.pack("i", w))
+            f.write(depth.tobytes())
+        env = rng.rand(r * 16, c * 32, 3).astype(np.float32)
+        assert cv2.imwrite(str(scene / f"imenv_{i}.hdr"), env[:, :, ::-1])
+    return str(root)
+
+
+def _args(dataset, extra):
+    return [
+        "--dataRoot", dataset,
+        "--imHeight", str(IM_HW[0]), "--imWidth", str(IM_HW[1]),
+        "--envRow", str(ENV_RC[0]), "--envCol", str(ENV_RC[1]),
+        "--batchSize", "2", "--nepoch", "1", "--maxSteps", "2",
+        "--numWorkers", "0",
+    ] + extra
+
+
+def test_openrooms_loader_contract(dataset):
+    from inverserenderingofindoorscene_tpu.data.openrooms import (
+        BatchIterator,
+        OpenRoomsDataset,
+    )
+
+    ds = OpenRoomsDataset(
+        dataset, im_hw=IM_HW, env_rc=ENV_RC, is_light=True, is_all_light=True
+    )
+    assert len(ds) == NIMG
+    item = ds[0]
+    h, w = IM_HW
+    assert item["im"].shape == (h, w, 3)
+    assert item["im"].min() >= 0 and item["im"].max() <= 1
+    assert item["albedo"].shape == (h, w, 3)
+    nn = np.linalg.norm(item["normal"], axis=2)
+    np.testing.assert_allclose(nn[nn > 0.1], 1.0, atol=1e-3)
+    assert item["depth"].shape == (h, w, 1)
+    assert item["env_gt"].shape == (ENV_RC[0], ENV_RC[1], 128, 3)
+    assert float(item["env_ind"][0]) == 1.0
+    # seg bands partition-ish the image
+    s = item["seg_area"] + item["seg_env"] + item["seg_brdf"]
+    assert 0.8 < float(s.mean()) <= 1.01
+
+    it = BatchIterator(ds, 2, num_workers=1)
+    b = next(iter(it))
+    assert b["im"].shape == (2, h, w, 3)
+    assert len(b["name"]) == 2
+
+
+def test_train_brdf_cli(dataset, tmp_path):
+    from inverserenderingofindoorscene_tpu.cli import train_brdf
+
+    exp = str(tmp_path / "exp_brdf")
+    train_brdf.main(_args(dataset, ["--experiment", exp]))
+    assert osp.isdir(exp)
+    from inverserenderingofindoorscene_tpu.utils import checkpoint as ckpt
+
+    assert ckpt.latest_epoch(exp, "brdf", 0) == 0
+
+
+def test_train_light_cli(dataset, tmp_path):
+    from inverserenderingofindoorscene_tpu.cli import train_light
+
+    exp = str(tmp_path / "exp_light")
+    train_light.main(
+        _args(dataset, ["--experiment", exp, "--batchSize", "1",
+                        "--maxSteps", "1", "--noPallas"])
+    )
+    from inverserenderingofindoorscene_tpu.utils import checkpoint as ckpt
+
+    assert ckpt.latest_epoch(exp, "light", 0) == 0
+
+
+def test_output_and_cascade1_roundtrip(dataset, tmp_path):
+    """Export cascade-0 intermediates, then load them as a cascade-1 batch."""
+    from inverserenderingofindoorscene_tpu.cli import output_brdf_light
+    from inverserenderingofindoorscene_tpu.data.openrooms import OpenRoomsDataset
+
+    output_brdf_light.main(
+        _args(dataset, ["--batchSize", "1", "--maxSteps", str(NIMG)])
+    )
+    ds = OpenRoomsDataset(
+        dataset, im_hw=IM_HW, env_rc=ENV_RC, cascade_level=1,
+        is_light=True, is_all_light=True,
+    )
+    assert len(ds) > 0
+    item = ds[0]
+    for k in ("albedo_pre", "normal_pre", "rough_pre", "depth_pre",
+              "diffuse_pre", "specular_pre", "env_pre"):
+        assert k in item, k
+    assert item["env_pre"].shape == (ENV_RC[0], ENV_RC[1], 84)
+    assert item["albedo_pre"].shape[2] == 3
+
+
+def test_test_synthetic_cli(dataset):
+    from inverserenderingofindoorscene_tpu.cli import test_synthetic
+
+    out = test_synthetic.main(_args(dataset, ["--stage", "brdf"]))
+    for k in ("albedo", "normal", "rough", "depth"):
+        assert np.isfinite(out[k]), k
+
+
+def test_test_real_cli(dataset, tmp_path):
+    cv2 = pytest.importorskip("cv2")
+    from inverserenderingofindoorscene_tpu.cli import test_real
+
+    rng = np.random.RandomState(1)
+    png = tmp_path / "real.png"
+    # square: keeps the aspect-scaled lighting grid at the full 32x32 (a
+    # smaller grid would collapse in the 6-level light encoder)
+    cv2.imwrite(str(png), (rng.rand(64, 64, 3) * 255).astype(np.uint8))
+    im_list = tmp_path / "list.txt"
+    im_list.write_text(str(png) + "\n")
+    outdir = tmp_path / "out"
+    test_real.main([
+        "--imList", str(im_list), "--output", str(outdir),
+        "--level", "2", "--isLight", "--isBS",
+        "--imHeight", str(IM_HW[0]), "--imWidth", str(IM_HW[1]),
+        "--envRow", str(ENV_RC[0]), "--envCol", str(ENV_RC[1]),
+    ])
+    files = os.listdir(outdir)
+    assert any("albedo1.npy" in f for f in files), files
+    assert any("envmap1.png" in f for f in files), files
+    assert any("albedoBs1.png" in f for f in files), files
