@@ -58,12 +58,18 @@ def fwd_bwd(render_fn):
 
 
 def timeit(fn, args, iters=50):
+    """Amortized per-call time with a HARD host-transfer sync.
+
+    jax.block_until_ready can return before execution completes on the
+    experimental remote-tunnel TPU backend; fetching one output to host is
+    the only reliable fence (and amortizes the tunnel latency over iters).
+    """
     out = fn(*args)
-    jax.block_until_ready(out)
+    np.asarray(jax.tree_util.tree_leaves(out)[0])
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    np.asarray(jax.tree_util.tree_leaves(out)[0])
     return (time.perf_counter() - t0) / iters
 
 
