@@ -60,7 +60,23 @@ def experiment_dir(opt, kind: str) -> str:
     else:
         exp = "check_" + kind
     os.makedirs(exp, exist_ok=True)
+    snapshot_source(exp)
     return exp
+
+
+def snapshot_source(exp_dir: str):
+    """Reproducibility pinning: copy the package source into the
+    experiment dir (the reference's ``cp *.py`` — trainBRDF.py:68-69)."""
+    import shutil
+
+    pkg_root = osp.dirname(osp.dirname(osp.abspath(__file__)))
+    dst = osp.join(exp_dir, "src_snapshot")
+    if osp.isdir(dst):
+        return
+    shutil.copytree(
+        pkg_root, osp.join(dst, osp.basename(pkg_root)),
+        ignore=shutil.ignore_patterns("__pycache__"),
+    )
 
 
 def pin_seeds(seed: int):

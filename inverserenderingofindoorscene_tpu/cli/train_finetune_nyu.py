@@ -53,6 +53,13 @@ def main(argv=None):
     rng = common.pin_seeds(opt.seed)
 
     nets, params = load_frozen_brdf(opt, rng)
+    # reference resume rule: LR scaled by 1/2^floor((epoch+1)/10)
+    from inverserenderingofindoorscene_tpu.utils.checkpoint import (
+        lr_scale_for_epoch,
+    )
+
+    if opt.brdfEpoch is not None:
+        opt.lr = opt.lr * lr_scale_for_epoch(opt.brdfEpoch)
     syn_loader = common.make_loader(opt, "TRAIN", is_light=False)
     nyu_ds = NYUDataset(
         opt.nyuImRoot, opt.nyuNormalRoot, opt.nyuDepthRoot, opt.nyuSegRoot,
