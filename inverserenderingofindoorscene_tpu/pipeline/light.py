@@ -33,7 +33,7 @@ from inverserenderingofindoorscene_tpu.models.lightnet import (
 from inverserenderingofindoorscene_tpu.pipeline.brdf import BRDFNets, brdf_forward
 
 
-@dataclasses.dataclass(frozen=True)
+@dataclasses.dataclass(frozen=True, kw_only=True)
 class LightNets:
     sg_num: int = 12
     cascade_level: int = 0
