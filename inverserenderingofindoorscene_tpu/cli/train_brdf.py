@@ -31,6 +31,9 @@ def parse_args(argv=None):
     p.add_argument("--roughWeight", type=float, default=0.5)
     p.add_argument("--depthWeight", type=float, default=0.5)
     p.add_argument("--resumeEpoch", type=int, default=None)
+    p.add_argument("--computeDtype", default="bfloat16",
+                   choices=["float32", "bfloat16"],
+                   help="conv-stack compute dtype (params stay f32)")
     return p.parse_args(argv)
 
 
@@ -39,7 +42,8 @@ def main(argv=None):
     exp = common.experiment_dir(opt, "brdf")
     rng = common.pin_seeds(opt.seed)
 
-    nets = BRDFNets(cascade_level=opt.cascadeLevel)
+    nets = BRDFNets(cascade_level=opt.cascadeLevel,
+                    compute_dtype=opt.computeDtype)
     params = nets.init(rng, (opt.imHeight, opt.imWidth))
 
     loader = common.make_loader(opt, "TRAIN", is_light=False)

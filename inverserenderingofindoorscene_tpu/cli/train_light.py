@@ -32,6 +32,9 @@ def parse_args(argv=None):
     p.add_argument("--brdfExperiment", required=False, default=None)
     p.add_argument("--brdfEpoch", type=int, default=None)
     p.add_argument("--resumeEpoch", type=int, default=None)
+    p.add_argument("--computeDtype", default="bfloat16",
+                   choices=["float32", "bfloat16"],
+                   help="conv-stack compute dtype (params stay f32)")
     p.add_argument("--usePallas", action="store_true", default=True)
     p.add_argument("--noPallas", dest="usePallas", action="store_false")
     p.set_defaults(batchSize=5)
@@ -78,6 +81,7 @@ def main(argv=None):
         env_cols=opt.envCol,
         env_height=opt.envHeight,
         env_width=opt.envWidth,
+        compute_dtype=opt.computeDtype,
     )
     light_params = light_nets.init(k2)
 

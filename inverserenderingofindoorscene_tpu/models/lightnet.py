@@ -18,7 +18,7 @@ models.py:334-336; only the output semantics are kept here.)
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Any, Optional, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -34,19 +34,24 @@ from inverserenderingofindoorscene_tpu.models.mgnet import GN_EPS, _match_hw
 class LightEncoder(nn.Module):
     sg_num: int = 12
     cascade_level: int = 0
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(
         self, x: jnp.ndarray, env_pre: Optional[jnp.ndarray] = None
     ) -> Sequence[jnp.ndarray]:
+        x = x.astype(self.dtype)
+
         def block(h, feats, groups, *, kernel=4, stride=2, pad_mode="zero"):
             if pad_mode == "edge":
                 h = replication_pad(h, 1)
                 padding = "VALID"
             else:
                 padding = ((1, 1), (1, 1))
-            h = nn.Conv(feats, (kernel, kernel), strides=stride, padding=padding)(h)
-            h = nn.GroupNorm(num_groups=groups, epsilon=GN_EPS)(h)
+            h = nn.Conv(feats, (kernel, kernel), strides=stride,
+                        padding=padding, dtype=self.dtype)(h)
+            h = nn.GroupNorm(num_groups=groups, epsilon=GN_EPS,
+                             dtype=self.dtype)(h)
             return nn.relu(h)
 
         # preProcess: 11ch @ 480x640 -> 64ch @ 120x160
@@ -55,7 +60,7 @@ class LightEncoder(nn.Module):
 
         if self.cascade_level > 0:
             assert env_pre is not None, "cascade>0 requires previous SG params"
-            h = jnp.concatenate([h, env_pre], axis=-1)
+            h = jnp.concatenate([h, env_pre.astype(self.dtype)], axis=-1)
 
         x1 = block(h, 128, 8, pad_mode="edge")
         x2 = block(x1, 256, 16)
@@ -71,14 +76,17 @@ class LightDecoder(nn.Module):
 
     sg_num: int = 12
     mode: int = 0
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, feats: Sequence[jnp.ndarray], env_hw=(120, 160)) -> jnp.ndarray:
         x1, x2, x3, x4, x5, x6 = feats
 
         def dblock(h, feats_out, groups):
-            h = nn.Conv(feats_out, (3, 3), padding=((1, 1), (1, 1)))(h)
-            h = nn.GroupNorm(num_groups=groups, epsilon=GN_EPS)(h)
+            h = nn.Conv(feats_out, (3, 3), padding=((1, 1), (1, 1)),
+                        dtype=self.dtype)(h)
+            h = nn.GroupNorm(num_groups=groups, epsilon=GN_EPS,
+                             dtype=self.dtype)(h)
             return nn.relu(h)
 
         dx1 = dblock(x6, 512, 32)
@@ -95,7 +103,9 @@ class LightDecoder(nn.Module):
 
         out_ch = self.sg_num if self.mode == 1 else 3 * self.sg_num
         x_out = 1.01 * jnp.tanh(
-            nn.Conv(out_ch, (3, 3), padding="VALID")(replication_pad(dx6, 1))
+            nn.Conv(out_ch, (3, 3), padding="VALID", dtype=self.dtype)(
+                replication_pad(dx6, 1)
+            ).astype(jnp.float32)
         )
 
         if self.mode in (1, 2):

@@ -19,7 +19,7 @@ modules, and static-shape skip alignment (the reference's runtime
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -38,13 +38,17 @@ class Encoder(nn.Module):
 
     in_channels is 3 at cascade 0 and 17 at cascade >= 1
     (im3 + albedo3 + normal3 + rough1 + depth1 + diffuse3 + specular3).
+    ``dtype`` is the compute dtype (bfloat16 for the MXU fast path;
+    params stay float32).
     """
 
     in_channels: int = 3
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Sequence[jnp.ndarray]:
         assert x.shape[-1] == self.in_channels, (x.shape, self.in_channels)
+        x = x.astype(self.dtype)
 
         def block(h, feats, groups, *, kernel, stride, pad_mode):
             if pad_mode == "edge":
@@ -52,8 +56,10 @@ class Encoder(nn.Module):
                 padding = "VALID"
             else:
                 padding = ((1, 1), (1, 1))
-            h = nn.Conv(feats, (kernel, kernel), strides=stride, padding=padding)(h)
-            h = nn.GroupNorm(num_groups=groups, epsilon=GN_EPS)(h)
+            h = nn.Conv(feats, (kernel, kernel), strides=stride,
+                        padding=padding, dtype=self.dtype)(h)
+            h = nn.GroupNorm(num_groups=groups, epsilon=GN_EPS,
+                             dtype=self.dtype)(h)
             return nn.relu(h)
 
         x1 = block(x, 64, 4, kernel=4, stride=2, pad_mode="edge")
@@ -91,17 +97,24 @@ def apply_head(x_orig: jnp.ndarray, mode: int) -> jnp.ndarray:
 
 
 class Decoder(nn.Module):
-    """U-Net decoder over the 6 encoder features; output head by ``mode``."""
+    """U-Net decoder over the 6 encoder features; output head by ``mode``.
+
+    The head math runs in float32 regardless of the compute dtype (the
+    LSregress-coupled losses are sensitive to the normalize/clamp chain).
+    """
 
     mode: int = 0
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, im: jnp.ndarray, feats: Sequence[jnp.ndarray]) -> jnp.ndarray:
         x1, x2, x3, x4, x5, x6 = feats
 
         def dblock(h, feats_out, groups):
-            h = nn.Conv(feats_out, (3, 3), padding=((1, 1), (1, 1)))(h)
-            h = nn.GroupNorm(num_groups=groups, epsilon=GN_EPS)(h)
+            h = nn.Conv(feats_out, (3, 3), padding=((1, 1), (1, 1)),
+                        dtype=self.dtype)(h)
+            h = nn.GroupNorm(num_groups=groups, epsilon=GN_EPS,
+                             dtype=self.dtype)(h)
             return nn.relu(h)
 
         dx1 = dblock(x6, 512, 32)
@@ -116,5 +129,7 @@ class Decoder(nn.Module):
         dx6 = dblock(upsample2x(jnp.concatenate([dx5, x1], -1)), 64, 4)
         dx6 = _match_hw(dx6, im.shape[1:3])
 
-        x_orig = nn.Conv(3, (3, 3), padding="VALID")(replication_pad(dx6, 1))
-        return apply_head(x_orig, self.mode)
+        x_orig = nn.Conv(3, (3, 3), padding="VALID", dtype=self.dtype)(
+            replication_pad(dx6, 1)
+        )
+        return apply_head(x_orig.astype(jnp.float32), self.mode)

@@ -26,22 +26,33 @@ from inverserenderingofindoorscene_tpu.models.mgnet import Decoder, Encoder
 
 @dataclasses.dataclass(frozen=True)
 class BRDFNets:
-    """Module bundle for one cascade level."""
+    """Module bundle for one cascade level.
+
+    ``compute_dtype``: "float32" or "bfloat16" — bf16 runs the conv
+    stacks on the MXU fast path (params and heads stay f32)."""
 
     cascade_level: int = 0
+    compute_dtype: str = "float32"
+
+    @property
+    def _dtype(self):
+        return jnp.dtype(self.compute_dtype)
 
     @property
     def encoder(self) -> Encoder:
-        return Encoder(in_channels=3 if self.cascade_level == 0 else 17)
+        return Encoder(
+            in_channels=3 if self.cascade_level == 0 else 17,
+            dtype=self._dtype,
+        )
 
     @property
     def decoders(self):
         # albedo / normal / rough / depth heads (modes 0/1/2/4)
         return {
-            "albedo": Decoder(mode=0),
-            "normal": Decoder(mode=1),
-            "rough": Decoder(mode=2),
-            "depth": Decoder(mode=4),
+            "albedo": Decoder(mode=0, dtype=self._dtype),
+            "normal": Decoder(mode=1, dtype=self._dtype),
+            "rough": Decoder(mode=2, dtype=self._dtype),
+            "depth": Decoder(mode=4, dtype=self._dtype),
         }
 
     def init(self, rng, im_hw=(240, 320)):

@@ -41,6 +41,11 @@ class LightNets:
     env_cols: int = 160
     env_height: int = 8
     env_width: int = 16
+    compute_dtype: str = "float32"
+
+    @property
+    def _dtype(self):
+        return jnp.dtype(self.compute_dtype)
 
     @property
     def light_hw(self):
@@ -50,14 +55,17 @@ class LightNets:
 
     @property
     def encoder(self) -> LightEncoder:
-        return LightEncoder(sg_num=self.sg_num, cascade_level=self.cascade_level)
+        return LightEncoder(
+            sg_num=self.sg_num, cascade_level=self.cascade_level,
+            dtype=self._dtype,
+        )
 
     @property
     def decoders(self):
         return {
-            "axis": LightDecoder(sg_num=self.sg_num, mode=0),
-            "lamb": LightDecoder(sg_num=self.sg_num, mode=1),
-            "weight": LightDecoder(sg_num=self.sg_num, mode=2),
+            "axis": LightDecoder(sg_num=self.sg_num, mode=0, dtype=self._dtype),
+            "lamb": LightDecoder(sg_num=self.sg_num, mode=1, dtype=self._dtype),
+            "weight": LightDecoder(sg_num=self.sg_num, mode=2, dtype=self._dtype),
         }
 
     def init(self, rng, light_hw=None):

@@ -134,3 +134,15 @@ def test_light_step_cascade1():
     for k, v in losses.items():
         assert np.isfinite(float(v)), k
     assert aux["sg"]["sg_flat"].shape == (2, ENV_RC[0], ENV_RC[1], 84)
+
+
+def test_bf16_compute_matches_f32():
+    """Mixed-precision parity: bf16 conv stacks, f32 params/heads/losses."""
+    batch = tiny_batch()
+    losses = {}
+    for dt in ("float32", "bfloat16"):
+        nets = BRDFNets(cascade_level=0, compute_dtype=dt)
+        params = nets.init(jax.random.PRNGKey(0), IM_HW)
+        _, errors = jax.jit(lambda p, b: brdf_step(nets, p, b))(params, batch)
+        losses[dt] = float(brdf_total_error(errors))
+    assert abs(losses["bfloat16"] - losses["float32"]) / losses["float32"] < 0.02, losses
