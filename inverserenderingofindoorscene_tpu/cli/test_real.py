@@ -63,6 +63,10 @@ def parse_args(argv=None):
     p.add_argument("--experimentLight1", default=None)
     p.add_argument("--epochBRDF", type=int, default=None)
     p.add_argument("--epochLight", type=int, default=None)
+    p.add_argument("--bsExperiment", default=None,
+                   help="trained confidence-CNN checkpoint dir; unit "
+                        "confidence if absent")
+    p.add_argument("--bsEpoch", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args(argv)
 
@@ -239,19 +243,69 @@ def predict_light(core_out):
     }
 
 
-def refine_bs(im, preds):
-    """Bilateral refinement of albedo/rough/depth (testReal.py:532-540),
-    with the unit confidence map (no trained conf CNN ckpt at inference
-    falls back to ones)."""
+def load_bs_params(opt):
+    """Trained confidence-CNN params, or None for unit confidence."""
+    from inverserenderingofindoorscene_tpu.pipeline.bilateral import (
+        BilateralNets,
+    )
+    from inverserenderingofindoorscene_tpu.train.steps import (
+        create_train_state,
+        reference_adam,
+    )
+    from inverserenderingofindoorscene_tpu.utils import checkpoint as ckpt
+
+    exp = opt.bsExperiment or (
+        "checkBs_cascade%d_w%d_h%d" % (opt.level - 1, opt.imWidth,
+                                       opt.imHeight)
+    )
+    ep = opt.bsEpoch
+    if ep is None:
+        ep = ckpt.latest_epoch(exp, "bs", opt.level - 1)
+    if ep is None:
+        return None
+    nets = BilateralNets()
+    params = nets.init(jax.random.PRNGKey(opt.seed),
+                       (opt.imHeight, opt.imWidth))
+    state = create_train_state(params, reference_adam(1e-4))
+    state = ckpt.restore_checkpoint(exp, "bs", opt.level - 1, ep, state)
+    print(f"loaded confidence CNNs from {exp} epoch {ep}")
+    return state.params
+
+
+def refine_bs(im, preds, bs_params=None):
+    """Bilateral refinement of albedo/rough/depth (testReal.py:532-540).
+
+    With trained confidence CNNs when a checkpoint is available; unit
+    confidence otherwise."""
     h, w = im.shape[1:3]
-    conf = jnp.ones((1, h, w, 1), jnp.float32)
     guide = preds["albedo"]
-    albedo = bilateral_solve(guide, preds["albedo"], conf, MODE_PARAMS[0], h * w)
+    if bs_params is None:
+        ones = jnp.ones((1, h, w, 1), jnp.float32)
+        conf_a = conf_r = conf_d = ones
+    else:
+        from inverserenderingofindoorscene_tpu.models.bilateral_net import (
+            ConfidenceNet,
+        )
+
+        conf_a = ConfidenceNet(6).apply(
+            bs_params["albedo"], im, preds["albedo"]
+        )
+        conf_r = ConfidenceNet(4).apply(
+            bs_params["rough"], im, 0.5 * (preds["rough"] + 1.0)
+        )
+        conf_d = ConfidenceNet(4).apply(
+            bs_params["depth"], im, preds["depth"]
+        )
+    albedo = bilateral_solve(
+        guide, preds["albedo"], conf_a, MODE_PARAMS[0], h * w
+    )
     rough01 = bilateral_solve(
-        guide, 0.5 * (preds["rough"] + 1.0), conf, MODE_PARAMS[2], h * w
+        guide, 0.5 * (preds["rough"] + 1.0), conf_r, MODE_PARAMS[2], h * w
     )
     rough = jnp.clip(2.0 * rough01 - 1.0, -1.0, 1.0)
-    depth = bilateral_solve(guide, preds["depth"], conf, MODE_PARAMS[4], h * w)
+    depth = bilateral_solve(
+        guide, preds["depth"], conf_d, MODE_PARAMS[4], h * w
+    )
     return {"albedo": albedo, "rough": rough, "depth": depth}
 
 
@@ -297,7 +351,8 @@ def main(argv=None):
             ),
             static_argnums=(3,),
         )
-    jit_bs = jax.jit(refine_bs)
+    bs_params = load_bs_params(opt) if opt.isBS else None
+    jit_bs = jax.jit(lambda im, preds: refine_bs(im, preds, bs_params))
 
     for im_path in im_list:
         name = osp.splitext(osp.basename(im_path))[0]

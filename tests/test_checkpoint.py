@@ -1,0 +1,45 @@
+"""Checkpoint save/restore roundtrip (orbax) with the stage naming contract."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from inverserenderingofindoorscene_tpu.pipeline.brdf import BRDFNets
+from inverserenderingofindoorscene_tpu.train.steps import (
+    create_train_state,
+    reference_adam,
+)
+from inverserenderingofindoorscene_tpu.utils import checkpoint as ckpt
+
+
+def test_roundtrip_and_latest_epoch(tmp_path):
+    exp = str(tmp_path / "exp")
+    nets = BRDFNets(cascade_level=0)
+    params = nets.init(jax.random.PRNGKey(0), (32, 32))
+    state = create_train_state(params, reference_adam(1e-4))
+
+    assert ckpt.latest_epoch(exp, "brdf", 0) is None
+    ckpt.save_checkpoint(exp, "brdf", 0, 3, state)
+    ckpt.save_checkpoint(exp, "brdf", 0, 7, state)
+    assert ckpt.latest_epoch(exp, "brdf", 0) == 7
+
+    # perturb, then restore epoch 7 and verify params equal the saved ones
+    perturbed = state.replace(
+        params=jax.tree_util.tree_map(lambda x: x + 1.0, state.params)
+    )
+    restored = ckpt.restore_checkpoint(exp, "brdf", 0, 7, perturbed)
+    diff = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), restored.params,
+        state.params,
+    )
+    assert max(jax.tree_util.tree_leaves(diff)) == 0.0
+    assert int(restored.step) == int(state.step)
+
+
+def test_lr_scale_rule():
+    # trainBRDF.py:90-103: 1/2^floor((epoch+1)/10)
+    assert ckpt.lr_scale_for_epoch(0) == 1.0
+    assert ckpt.lr_scale_for_epoch(8) == 1.0
+    assert ckpt.lr_scale_for_epoch(9) == 0.5
+    assert ckpt.lr_scale_for_epoch(19) == 0.25
