@@ -31,6 +31,8 @@ def parse_args(argv=None):
     p.add_argument("--roughWeight", type=float, default=0.5)
     p.add_argument("--depthWeight", type=float, default=0.5)
     p.add_argument("--resumeEpoch", type=int, default=None)
+    p.add_argument("--previewEvery", type=int, default=2000,
+                   help="dump GT/pred PNGs every N steps (trainBRDF.py:334)")
     p.add_argument("--computeDtype", default="bfloat16",
                    choices=["float32", "bfloat16"],
                    help="conv-stack compute dtype (params stay f32)")
@@ -78,6 +80,25 @@ def main(argv=None):
             batch = common.stage_batch(np_batch)
             state, metrics = step_fn(state, batch)
             logger.log(epoch, j, {k: float(v) for k, v in metrics.items()})
+            if opt.previewEvery and j % opt.previewEvery == 0:
+                from inverserenderingofindoorscene_tpu.pipeline.brdf import (
+                    brdf_forward,
+                )
+
+                preds = jax.jit(
+                    lambda p, b: brdf_forward(nets, p, b)
+                )(state.params, batch)
+                common.dump_preview(exp, epoch, j, {
+                    "im": (batch["im"], True),
+                    "albedoGt": (batch["albedo"], True),
+                    "albedoPred": (preds["albedo"], True),
+                    "normalPred": (0.5 * (preds["normal"] + 1.0), False),
+                    "roughPred": (0.5 * (preds["rough"] + 1.0), False),
+                    "depthPred": (
+                        1.0 / jax.numpy.clip(preds["depth"], 0.1, None) * 0.3,
+                        False,
+                    ),
+                })
         if epoch % opt.saveEvery == 0 or epoch == opt.nepoch - 1:
             ckpt.save_checkpoint(exp, "brdf", opt.cascadeLevel, epoch, state)
             logger.save_curves(exp, epoch)

@@ -42,39 +42,48 @@ TILE_P = 128
 
 
 def pack_dir_consts(env_height, env_width, dtype=np.float32):
-    """[8, D] constant input: rows 0-2 = light dirs xyz, row 3 = solid-angle
-    weights, rows 4-7 zero padding (8 sublanes = f32 min tile)."""
+    """[D, 8] constant input: cols 0-2 = light dirs xyz, col 3 = solid-angle
+    weights, cols 4-7 zero padding."""
     ls = hemisphere_dirs(env_height, env_width)
     wq = hemisphere_weights(env_height, env_width)
     d = ls.shape[0]
-    out = np.zeros((8, d), dtype)
-    out[0:3] = ls.T
-    out[3] = wq
+    out = np.zeros((d, 8), dtype)
+    out[:, 0:3] = ls
+    out[:, 3] = wq
     return out
 
 
-def _shade_tile_math(albedo, normal, rough, axis, lamb, weight, v, consts, f0):
-    """Shade a tile of P pixels. All per-direction arrays are [P, D].
+def _shade_tile_math(albedo, normal, rough, axis, lamb, weight, v, consts,
+                     f0):
+    """Shade a tile of P pixels in the TRANSPOSED layout.
 
-    albedo/normal/v: [P,3]; rough: [P,1]; axis: [P,K*3]; lamb: [P,K];
-    weight: [P,K*3]; consts: [8,D] packed dirs+weights (pack_dir_consts).
+    All inputs are channel-major: albedo/normal/v [3,P]; rough [1,P];
+    axis/weight [K*3,P]; lamb [K,P]; consts [D,8] (pack_dir_consts).
+    Every per-direction array is [D, P]: directions on SUBLANES, pixels on
+    LANES.  This orientation matters on TPU: the 84 per-pixel scalars
+    broadcast along sublanes (cheap replication), and only the 4 direction
+    constants need the expensive lane-broadcast — materialized once below
+    and reused as plain [D,P] operands.  (The pixel-major formulation is
+    5x slower: every scalar*row op pays a lane-broadcast.)
 
-    Returns (diffuse [P,3], specular [P,3]).
+    Returns (diffuse [3,P], specular [3,P]).
     Equations: models.py:461-522 + 371-404 (see core/brdf.py docstring).
     """
-    p = albedo.shape[0]
-    k_num = lamb.shape[-1]
-    d = consts.shape[-1]
-    lsx = consts[0:1, :]
-    lsy = consts[1:2, :]
-    lsz = consts[2:3, :]
-    wgt_row = consts[3:4, :]
+    k_num = lamb.shape[0]
+    d = consts.shape[0]
+    p = albedo.shape[-1]
 
-    def col(x, i):
-        return x[:, i : i + 1]  # [P,1] static slice
+    def row(x, i):
+        return x[i : i + 1, :]  # [1,P] static slice; sublane-broadcasts
+
+    # direction constants, lane-broadcast ONCE to [D,P]
+    lsx = jnp.broadcast_to(consts[:, 0:1], (d, p))
+    lsy = jnp.broadcast_to(consts[:, 1:2], (d, p))
+    lsz = jnp.broadcast_to(consts[:, 2:3], (d, p))
+    wgt_col = jnp.broadcast_to(consts[:, 3:4], (d, p))
 
     # --- normalize normal (models.py:478) ---
-    nx, ny, nz = col(normal, 0), col(normal, 1), col(normal, 2)
+    nx, ny, nz = row(normal, 0), row(normal, 1), row(normal, 2)
     inv_n = jax.lax.rsqrt(jnp.clip(nx * nx + ny * ny + nz * nz, 1e-6, 1.0))
     nx, ny, nz = nx * inv_n, ny * inv_n, nz * inv_n
 
@@ -87,7 +96,6 @@ def _shade_tile_math(albedo, normal, rough, axis, lamb, weight, v, consts, f0):
         jnp.clip(cyx * cyx + cyy * cyy + cyz * cyz, 1e-12, None)
     )
     cyx, cyy, cyz = cyx * inv_cy, cyy * inv_cy, cyz * inv_cy
-    # cross(camy, n)
     cxx = cyy * nz - cyz * ny
     cxy = cyz * nx - cyx * nz
     cxz = cyx * ny - cyy * nx
@@ -96,39 +104,54 @@ def _shade_tile_math(albedo, normal, rough, axis, lamb, weight, v, consts, f0):
     )
     cxx, cxy, cxz = -cxx * inv_cx, -cxy * inv_cx, -cxz * inv_cx
 
-    # --- SG mixture -> per-direction radiance env_c [P,D] (models.py:371-389)
-    env_r = jnp.zeros((p, d), albedo.dtype)
-    env_g = jnp.zeros((p, d), albedo.dtype)
-    env_b = jnp.zeros((p, d), albedo.dtype)
+    # --- SG mixture -> per-direction radiance env_c [D,P] (models.py:371-389)
+    env_r = jnp.zeros((d, p), albedo.dtype)
+    env_g = jnp.zeros((d, p), albedo.dtype)
+    env_b = jnp.zeros((d, p), albedo.dtype)
     for k in range(k_num):
-        ax, ay, az = col(axis, 3 * k), col(axis, 3 * k + 1), col(axis, 3 * k + 2)
-        cos = ax * lsx + ay * lsy + az * lsz  # [P,D]
-        e = jnp.exp(col(lamb, k) * (cos - 1.0))
-        env_r = env_r + col(weight, 3 * k) * e
-        env_g = env_g + col(weight, 3 * k + 1) * e
-        env_b = env_b + col(weight, 3 * k + 2) * e
+        ax, ay, az = row(axis, 3 * k), row(axis, 3 * k + 1), row(axis, 3 * k + 2)
+        cos = lsx * ax + lsy * ay + lsz * az  # [D,P]
+        e = jnp.exp(row(lamb, k) * (cos - 1.0))
+        env_r = env_r + row(weight, 3 * k) * e
+        env_g = env_g + row(weight, 3 * k + 1) * e
+        env_b = env_b + row(weight, 3 * k + 2) * e
 
-    # --- world light dirs l = lx*camx + ly*camy + lz*n (models.py:485-487)
-    lx = lsx * cxx + lsy * cyx + lsz * nx  # [P,D]
-    ly = lsx * cxy + lsy * cyy + lsz * ny
-    lz = lsx * cxz + lsy * cyz + lsz * nz
+    # --- shading dot products WITHOUT materializing l and h ---------------
+    # The reference builds world light dirs l = lsx*camx + lsy*camy + lsz*n
+    # and half vectors h = normalize((v+l)/2) per direction
+    # (models.py:485-489).  With |v|=1, |l|=1 and the frame identities
+    # (camy x n).n = 0 these reduce exactly to:
+    #   v.l   = lsx*(v.camx) + lsy*(v.camy) + lsz*(v.n)
+    #   |h|^2 = (1 + v.l)/2
+    #   v.h   = |h|^2 * rsqrt(clip(|h|^2, 1e-6))   (== the reference's
+    #           clamped normalize, since v.(v+l)/2 = |h|^2)
+    #   n.l   = lsy*(n.camy) + lsz*|n|^2   (n.camx = 0 exactly; n.camy =
+    #           (up.n)(1-|n|^2)/|camy|, nonzero only when the |n|<=1 clamp
+    #           bites — kept for exact parity)
+    #   n.h   = ((n.v) + (n.l))/2 * rsqrt(...)
+    # Same clamp semantics, fewer ops, and a much smaller backward graph.
+    vx, vy, vz = row(v, 0), row(v, 1), row(v, 2)
+    nn = nx * nx + ny * ny + nz * nz  # [1,P] == 1 unless the clamp bit
+    nv = nx * vx + ny * vy + nz * vz  # [1,P] raw
+    v_cx = vx * cxx + vy * cxy + vz * cxz  # [1,P]
+    v_cy = vx * cyx + vy * cyy + vz * cyz
+    n_cy = (ny - ny * nn) * inv_cy  # [1,P]
 
-    vx, vy, vz = col(v, 0), col(v, 1), col(v, 2)
-    hx, hy, hz = (vx + lx) * 0.5, (vy + ly) * 0.5, (vz + lz) * 0.5
-    inv_h = jax.lax.rsqrt(jnp.clip(hx * hx + hy * hy + hz * hz, 1e-6, None))
-    hx, hy, hz = hx * inv_h, hy * inv_h, hz * inv_h
-
-    vdh = vx * hx + vy * hy + vz * hz
+    vl = lsx * v_cx + lsy * v_cy + lsz * nv  # [D,P]
+    h2 = (1.0 + vl) * 0.5
+    inv_h = jax.lax.rsqrt(jnp.clip(h2, 1e-6, None))
+    vdh = h2 * inv_h  # [D,P]
     # Schlick-ish Fresnel (models.py:491)
     frac0 = f0 + (1.0 - f0) * jnp.exp2((-5.55472 * vdh - 6.98316) * vdh)
 
-    r = (rough + 1.0) * 0.5  # [P,1]
+    r = (rough + 1.0) * 0.5  # [1,P]
     k_g = (r + 1.0) * (r + 1.0) * (1.0 / 8.0)
     alpha2 = (r * r) * (r * r)
 
-    ndv = jnp.clip(nx * vx + ny * vy + nz * vz, 0.0, 1.0)  # [P,1]
-    ndh = jnp.clip(nx * hx + ny * hy + nz * hz, 0.0, 1.0)  # [P,D]
-    ndl = jnp.clip(nx * lx + ny * ly + nz * lz, 0.0, 1.0)  # [P,D]
+    nl = lsy * n_cy + lsz * nn  # [D,P]
+    ndv = jnp.clip(nv, 0.0, 1.0)  # [1,P]
+    ndh = jnp.clip((nv + nl) * 0.5 * inv_h, 0.0, 1.0)  # [D,P]
+    ndl = jnp.clip(nl, 0.0, 1.0)  # [D,P]
 
     frac = alpha2 * frac0
     nom0 = ndh * ndh * (alpha2 - 1.0) + 1.0
@@ -136,21 +159,22 @@ def _shade_tile_math(albedo, normal, rough, axis, lamb, weight, v, consts, f0):
     nom2 = ndl * (1.0 - k_g) + k_g
     four_pi = 4.0 * np.pi
     nom = jnp.clip(four_pi * nom0 * nom0 * nom1 * nom2, 1e-6, four_pi)
-    spec = frac / nom  # [P,D]
+    spec = frac / nom  # [D,P]
 
-    ndl_w = ndl * wgt_row  # [P,D]
+    ndl_w = ndl * wgt_col  # [D,P]
     spec_w = spec * ndl_w
     inv_pi = 1.0 / np.pi
 
     def reduce3(wmap):
+        # sublane (direction) reductions -> [1,P] rows, stacked to [3,P]
         return jnp.concatenate(
             [
-                jnp.sum(wmap * env_r, axis=1, keepdims=True),
-                jnp.sum(wmap * env_g, axis=1, keepdims=True),
-                jnp.sum(wmap * env_b, axis=1, keepdims=True),
+                jnp.sum(wmap * env_r, axis=0, keepdims=True),
+                jnp.sum(wmap * env_g, axis=0, keepdims=True),
+                jnp.sum(wmap * env_b, axis=0, keepdims=True),
             ],
-            axis=1,
-        )  # [P,3]
+            axis=0,
+        )
 
     diffuse = albedo * inv_pi * reduce3(ndl_w)
     specular = reduce3(spec_w)
@@ -182,22 +206,30 @@ def _bwd_kernel(
     dwgt[:] = gw
 
 
-def _pad_to(x, n):
-    if x.shape[0] == n:
+def _pad_cols(x, n):
+    """Pad a channel-major [ch, N] array to N == n along dim 1."""
+    if x.shape[1] == n:
         return x
-    return jnp.pad(x, ((0, n - x.shape[0]),) + ((0, 0),) * (x.ndim - 1))
+    return jnp.pad(x, ((0, 0), (0, n - x.shape[1])))
 
 
-def _flat_specs(n_tiles, widths):
+def _cm_specs(heights):
+    """Channel-major block specs: [ch, TILE_P] blocks striding over pixels."""
     return [
-        pl.BlockSpec((TILE_P, w), lambda i: (i, 0), memory_space=pltpu.VMEM)
-        for w in widths
+        pl.BlockSpec((h, TILE_P), lambda i: (0, i), memory_space=pltpu.VMEM)
+        for h in heights
     ]
 
 
 def _const_spec(d):
-    # Same [8, D] dirs+weights block every grid step.
-    return pl.BlockSpec((8, d), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    # Same [D, 8] dirs+weights block every grid step.
+    return pl.BlockSpec((d, 8), lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+
+def _transpose_pad(arrays, n_pad):
+    """[N, ch] inputs -> padded channel-major [ch, n_pad] (XLA transposes
+    outside the kernel; in-kernel transposes would serialize on the XLU)."""
+    return [_pad_cols(a.T, n_pad) for a in arrays]
 
 
 def _run_fwd(albedo, normal, rough, axis, lamb, weight, v, env_hw, f0,
@@ -206,36 +238,29 @@ def _run_fwd(albedo, normal, rough, axis, lamb, weight, v, env_hw, f0,
     consts = jnp.asarray(pack_dir_consts(eh, ew), albedo.dtype)
     n = albedo.shape[0]
     n_pad = ((n + TILE_P - 1) // TILE_P) * TILE_P
-    args = [
-        _pad_to(albedo, n_pad),
-        _pad_to(normal, n_pad),
-        _pad_to(rough, n_pad),
-        _pad_to(axis, n_pad),
-        _pad_to(lamb, n_pad),
-        _pad_to(weight, n_pad),
-        _pad_to(v, n_pad),
-    ]
-    widths = [a.shape[1] for a in args]
+    args = _transpose_pad([albedo, normal, rough, axis, lamb, weight, v],
+                          n_pad)
+    heights = [a.shape[0] for a in args]
     k = lamb.shape[1]
     grid = (n_pad // TILE_P,)
     kernel = functools.partial(_fwd_kernel, f0=f0)
     dif, spc = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[_const_spec(consts.shape[1])] + _flat_specs(grid[0], widths),
-        out_specs=tuple(_flat_specs(grid[0], [3, 3])),
+        in_specs=[_const_spec(consts.shape[0])] + _cm_specs(heights),
+        out_specs=tuple(_cm_specs([3, 3])),
         out_shape=(
-            jax.ShapeDtypeStruct((n_pad, 3), albedo.dtype),
-            jax.ShapeDtypeStruct((n_pad, 3), albedo.dtype),
+            jax.ShapeDtypeStruct((3, n_pad), albedo.dtype),
+            jax.ShapeDtypeStruct((3, n_pad), albedo.dtype),
         ),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=n_pad * (k * 8 + 45) * eh * ew,
-            bytes_accessed=sum(w * 4 for w in widths) * n_pad + n_pad * 24,
+            bytes_accessed=sum(h * 4 for h in heights) * n_pad + n_pad * 24,
             transcendentals=n_pad * (k + 2) * eh * ew,
         ),
     )(consts, *args)
-    return dif[:n], spc[:n]
+    return dif[:, :n].T, spc[:, :n].T
 
 
 def _sg_render_bwd(v, env_hw, f0, interpret, res, grads):
@@ -245,39 +270,32 @@ def _sg_render_bwd(v, env_hw, f0, interpret, res, grads):
     consts = jnp.asarray(pack_dir_consts(eh, ew), albedo.dtype)
     n = albedo.shape[0]
     n_pad = ((n + TILE_P - 1) // TILE_P) * TILE_P
-    args = [
-        _pad_to(albedo, n_pad),
-        _pad_to(normal, n_pad),
-        _pad_to(rough, n_pad),
-        _pad_to(axis, n_pad),
-        _pad_to(lamb, n_pad),
-        _pad_to(weight, n_pad),
-        _pad_to(v, n_pad),
-        _pad_to(gd, n_pad),
-        _pad_to(gs, n_pad),
-    ]
-    in_widths = [a.shape[1] for a in args]
-    out_widths = [a.shape[1] for a in args[:6]]
+    args = _transpose_pad(
+        [albedo, normal, rough, axis, lamb, weight, v, gd, gs], n_pad
+    )
+    in_heights = [a.shape[0] for a in args]
+    out_heights = in_heights[:6]
     k = lamb.shape[1]
     grid = (n_pad // TILE_P,)
     kernel = functools.partial(_bwd_kernel, f0=f0)
     outs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[_const_spec(consts.shape[1])]
-        + _flat_specs(grid[0], in_widths),
-        out_specs=tuple(_flat_specs(grid[0], out_widths)),
+        in_specs=[_const_spec(consts.shape[0])] + _cm_specs(in_heights),
+        out_specs=tuple(_cm_specs(out_heights)),
         out_shape=tuple(
-            jax.ShapeDtypeStruct((n_pad, w), albedo.dtype) for w in out_widths
+            jax.ShapeDtypeStruct((h, n_pad), albedo.dtype)
+            for h in out_heights
         ),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=3 * n_pad * (k * 8 + 45) * eh * ew,
-            bytes_accessed=sum(w * 4 for w in in_widths + out_widths) * n_pad,
+            bytes_accessed=sum(h * 4 for h in in_heights + out_heights)
+            * n_pad,
             transcendentals=2 * n_pad * (k + 2) * eh * ew,
         ),
     )(consts, *args)
-    return tuple(o[:n] for o in outs)
+    return tuple(o[:, :n].T for o in outs)
 
 
 class _SGRender:
