@@ -1,0 +1,143 @@
+"""Full lighting-pipeline loss parity vs the reference wrapperBRDFLight.
+
+Same transferred weights, same batch, at the REAL operating point
+(240x320 image, 120x160 grid, 8x16 envmaps, SG12 — the reference
+hard-codes the 480x640 light input): the four BRDF errors plus the
+envmap reconstruction and render losses must match the reference's
+wrapper end to end. Exercises networks, SG decode, the shading
+integral, LSregress/LSregressDiffSpec coupling, and every mask.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+import os
+import sys
+
+if not os.path.isdir("/root/reference"):
+    pytest.skip("reference not mounted", allow_module_level=True)
+sys.path.insert(0, "/root/reference")
+
+
+class _Opt:
+    cascadeLevel = 0
+    envRow, envCol = 120, 160
+    envWidth, envHeight = 16, 8
+
+
+def _patch_cuda():
+    orig = {}
+    for cls in (torch.Tensor, torch.nn.Module):
+        orig[cls] = cls.cuda
+        cls.cuda = lambda self, *a, **k: self
+    return orig
+
+
+def _unpatch(orig):
+    for cls, fn in orig.items():
+        cls.cuda = fn
+
+
+def test_light_losses_match_reference_wrapper():
+    import models as ref_models
+    import wrapperBRDFLight as ref_wrapper
+
+    from inverserenderingofindoorscene_tpu.pipeline.brdf import BRDFNets
+    from inverserenderingofindoorscene_tpu.pipeline.light import (
+        LightNets,
+        light_step,
+    )
+    from inverserenderingofindoorscene_tpu.utils import torch_import as ti
+
+    torch.manual_seed(11)
+    b, h, w = 1, 240, 320
+    r, c, eh, ew = 120, 160, 8, 16
+
+    tenc = ref_models.encoder0(cascadeLevel=0).eval()
+    tdecs = [ref_models.decoder0(mode=m).eval() for m in (0, 1, 2, 4)]
+    tlenc = ref_models.encoderLight(SGNum=12, cascadeLevel=0).eval()
+    tldecs = [ref_models.decoderLight(SGNum=12, mode=m).eval()
+              for m in (0, 1, 2)]
+
+    rng = np.random.RandomState(11)
+    im = rng.rand(b, h, w, 3).astype(np.float32)
+    albedo = rng.rand(b, h, w, 3).astype(np.float32)
+    normal = rng.uniform(-1, 1, (b, h, w, 3)).astype(np.float32)
+    normal[..., 2] = np.abs(normal[..., 2]) + 0.3
+    normal /= np.linalg.norm(normal, axis=-1, keepdims=True)
+    rough = rng.uniform(-1, 1, (b, h, w, 1)).astype(np.float32)
+    depth = (rng.rand(b, h, w, 1) * 4 + 0.2).astype(np.float32)
+    seg_m = np.kron(rng.rand(b, h // 8, w // 8), np.ones((8, 8)))[..., None]
+    seg_area = (seg_m > 0.8).astype(np.float32)
+    seg_obj = (seg_m < 0.6).astype(np.float32)
+    seg_env = ((seg_m >= 0.6) & (seg_m <= 0.8)).astype(np.float32)
+    env_gt = (rng.rand(b, r, c, eh * ew, 3) * 2).astype(np.float32)
+    env_ind = np.ones((b, 1), np.float32)
+
+    # --- reference side ---
+    orig = _patch_cuda()
+    try:
+        t = lambda x: torch.from_numpy(  # noqa: E731
+            np.ascontiguousarray(x.transpose(0, 3, 1, 2))
+        )
+        env_t = torch.from_numpy(
+            np.ascontiguousarray(
+                env_gt.reshape(b, r, c, eh, ew, 3).transpose(0, 5, 1, 2, 3, 4)
+            )
+        )
+        data_batch = {
+            "im": t(im), "albedo": t(albedo), "normal": t(normal),
+            "rough": t(rough), "depth": t(depth),
+            "segArea": t(seg_area), "segEnv": t(seg_env),
+            "segObj": t(seg_obj),
+            "envmaps": env_t,
+            "envmapsInd": torch.from_numpy(env_ind.reshape(b, 1, 1, 1)),
+        }
+        o2e = ref_models.output2env(SGNum=12, envWidth=ew, envHeight=eh,
+                                    isCuda=False)
+        rlayer = ref_models.renderingLayer(
+            imWidth=c, imHeight=r, envWidth=ew, envHeight=eh, isCuda=False
+        )
+        with torch.no_grad():
+            pairs = ref_wrapper.wrapperBRDFLight(
+                data_batch, _Opt(), tenc, *tdecs, tlenc, *tldecs,
+                o2e, rlayer, isLightOut=False, offset=1.0,
+            )
+        names = ("albedo", "normal", "rough", "depth", "reconst", "render")
+        ref_errors = {
+            nm: float(pair[1]) for nm, pair in zip(names, pairs)
+        }
+    finally:
+        _unpatch(orig)
+
+    # --- our side with the same weights ---
+    sd = lambda m: {k: v.numpy() for k, v in m.state_dict().items()}  # noqa: E731
+    bp = ti.brdf_params_from_torch(
+        sd(tenc), sd(tdecs[0]), sd(tdecs[1]), sd(tdecs[2]), sd(tdecs[3])
+    )
+    lp = ti.light_params_from_torch(
+        sd(tlenc), sd(tldecs[0]), sd(tldecs[1]), sd(tldecs[2])
+    )
+    batch = {
+        "im": jnp.asarray(im), "albedo": jnp.asarray(albedo),
+        "normal": jnp.asarray(normal), "rough": jnp.asarray(rough),
+        "depth": jnp.asarray(depth), "seg_brdf": jnp.asarray(seg_obj),
+        "seg_all": jnp.asarray(seg_area + seg_obj),
+        "env_gt": jnp.asarray(env_gt), "env_ind": jnp.asarray(env_ind),
+    }
+    brdf_nets = BRDFNets(cascade_level=0)
+    light_nets = LightNets(cascade_level=0)
+    losses, _ = jax.jit(
+        lambda bp, lp, bt: light_step(brdf_nets, light_nets, bp, lp, bt,
+                                      offset=1.0)
+    )(bp, lp, batch)
+
+    for k in ("albedo", "normal", "rough", "depth", "reconst", "render"):
+        np.testing.assert_allclose(
+            float(losses[k]), ref_errors[k], rtol=5e-3, err_msg=k
+        )
