@@ -368,3 +368,169 @@ def render_sg(
         v,
     )
     return dif.reshape(b, h, w, 3), spc.reshape(b, h, w, 3)
+
+
+# ---------------------------------------------------------------------------
+# SG -> envmap decode (no shading): the reconstruction-loss path.
+# The jnp path materializes the [N, K, D] cos/exp chain in HBM (~50 ms of
+# the light train step at the reference operating point); this kernel
+# accumulates the K-lobe mixture in VMEM and writes only the [D, N] envmap
+# planes. Same transposed layout rationale as the shading kernel above.
+# ---------------------------------------------------------------------------
+
+
+def _env_tile_math(axis, lamb, weight, consts):
+    """[K*3,P] axis / [K,P] lamb / [K*3,P] weight -> (r, g, b) [D,P] planes."""
+    k_num = lamb.shape[0]
+    d = consts.shape[0]
+    p = axis.shape[-1]
+
+    def row(x, i):
+        return x[i : i + 1, :]
+
+    lsx = jnp.broadcast_to(consts[:, 0:1], (d, p))
+    lsy = jnp.broadcast_to(consts[:, 1:2], (d, p))
+    lsz = jnp.broadcast_to(consts[:, 2:3], (d, p))
+
+    env_r = jnp.zeros((d, p), axis.dtype)
+    env_g = jnp.zeros((d, p), axis.dtype)
+    env_b = jnp.zeros((d, p), axis.dtype)
+    for k in range(k_num):
+        cos = (
+            lsx * row(axis, 3 * k)
+            + lsy * row(axis, 3 * k + 1)
+            + lsz * row(axis, 3 * k + 2)
+        )
+        e = jnp.exp(row(lamb, k) * (cos - 1.0))
+        env_r = env_r + row(weight, 3 * k) * e
+        env_g = env_g + row(weight, 3 * k + 1) * e
+        env_b = env_b + row(weight, 3 * k + 2) * e
+    return env_r, env_g, env_b
+
+
+def _env_fwd_kernel(consts, ax, lam, wgt_in, er, eg, eb):
+    r, g, b = _env_tile_math(ax[:], lam[:], wgt_in[:], consts[:])
+    er[:] = r
+    eg[:] = g
+    eb[:] = b
+
+
+def _env_bwd_kernel(consts, ax, lam, wgt_in, gr, gg, gb, dax, dlam, dwgt):
+    def f(x, lm, w):
+        return _env_tile_math(x, lm, w, consts[:])
+
+    _, vjp = jax.vjp(f, ax[:], lam[:], wgt_in[:])
+    gx, gl, gw = vjp((gr[:], gg[:], gb[:]))
+    dax[:] = gx
+    dlam[:] = gl
+    dwgt[:] = gw
+
+
+def _env_plane_specs(d, n_heights):
+    return [
+        pl.BlockSpec((d, TILE_P), lambda i: (0, i), memory_space=pltpu.VMEM)
+        for _ in range(n_heights)
+    ]
+
+
+def _env_run_fwd(axis, lamb, weight, env_hw, interpret):
+    eh, ew = env_hw
+    d = eh * ew
+    consts = jnp.asarray(pack_dir_consts(eh, ew), axis.dtype)
+    n = axis.shape[0]
+    n_pad = ((n + TILE_P - 1) // TILE_P) * TILE_P
+    args = _transpose_pad([axis, lamb, weight], n_pad)
+    heights = [a.shape[0] for a in args]
+    grid = (n_pad // TILE_P,)
+    k = lamb.shape[1]
+    outs = pl.pallas_call(
+        _env_fwd_kernel,
+        grid=grid,
+        in_specs=[_const_spec(d)] + _cm_specs(heights),
+        out_specs=tuple(_env_plane_specs(d, 3)),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((d, n_pad), axis.dtype) for _ in range(3)
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=n_pad * k * 8 * d,
+            bytes_accessed=(sum(heights) + 3 * d) * 4 * n_pad,
+            transcendentals=n_pad * k * d,
+        ),
+    )(consts, *args)
+    return tuple(o[:, :n] for o in outs)  # 3 x [D, N]
+
+
+@functools.lru_cache(maxsize=None)
+def _get_env_op(env_hw, interpret):
+    eh, ew = env_hw
+    d = eh * ew
+
+    @jax.custom_vjp
+    def op(axis, lamb, weight):
+        return _env_run_fwd(axis, lamb, weight, env_hw, interpret)
+
+    def fwd(axis, lamb, weight):
+        out = _env_run_fwd(axis, lamb, weight, env_hw, interpret)
+        return out, (axis, lamb, weight)
+
+    def bwd(res, grads):
+        axis, lamb, weight = res
+        gr, gg, gb = grads
+        consts = jnp.asarray(pack_dir_consts(eh, ew), axis.dtype)
+        n = axis.shape[0]
+        n_pad = ((n + TILE_P - 1) // TILE_P) * TILE_P
+        args = _transpose_pad([axis, lamb, weight], n_pad)
+        g_args = [
+            _pad_cols(g, n_pad) for g in (gr, gg, gb)
+        ]  # already [D, N]
+        in_heights = [a.shape[0] for a in args]
+        grid = (n_pad // TILE_P,)
+        k = lamb.shape[1]
+        outs = pl.pallas_call(
+            _env_bwd_kernel,
+            grid=grid,
+            in_specs=[_const_spec(d)] + _cm_specs(in_heights)
+            + _env_plane_specs(d, 3),
+            out_specs=tuple(_cm_specs(in_heights)),
+            out_shape=tuple(
+                jax.ShapeDtypeStruct((h, n_pad), axis.dtype)
+                for h in in_heights
+            ),
+            interpret=interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=3 * n_pad * k * 8 * d,
+                bytes_accessed=(2 * sum(in_heights) + 3 * d) * 4 * n_pad,
+                transcendentals=2 * n_pad * k * d,
+            ),
+        )(consts, *args, *g_args)
+        return tuple(o[:, :n].T for o in outs)
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
+def sg_envmap(
+    axis: jnp.ndarray,
+    lamb: jnp.ndarray,
+    weight: jnp.ndarray,
+    env_height: int = 8,
+    env_width: int = 16,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused SG -> per-pixel envmap, NHWC API.
+
+    axis [B,H,W,K,3], lamb [B,H,W,K] (physical), weight [B,H,W,K,3]
+    (physical). Returns envmap [B,H,W,D,3] — semantics of
+    ``core.sg.sg_to_envmap`` (models.py:371-389) without the [N,K,D]
+    HBM intermediates.
+    """
+    b, h, w = axis.shape[:3]
+    n = b * h * w
+    k = lamb.shape[-1]
+    op = _get_env_op((env_height, env_width), bool(interpret))
+    er, eg, eb = op(
+        axis.reshape(n, k * 3), lamb.reshape(n, k), weight.reshape(n, k * 3)
+    )
+    env = jnp.stack([er.T, eg.T, eb.T], axis=-1)  # [N, D, 3]
+    return env.reshape(b, h, w, -1, 3)

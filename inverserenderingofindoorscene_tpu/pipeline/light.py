@@ -205,13 +205,21 @@ def light_step(
     env_ind = batch["env_ind"].reshape(-1, 1, 1, 1)  # [B,1,1,1]
     seg_env = seg_small * env_ind * not_dark.astype(im.dtype)  # [B,R,C,1]
 
-    env_pred, _, lamb, weight = sg.squashed_sg_to_envmap(
-        sg_out["axis"],
-        sg_out["lamb01"],
-        sg_out["weight01"],
-        light_nets.env_height,
-        light_nets.env_width,
-    )
+    lamb = sg.unsquash(sg_out["lamb01"])
+    weight = sg.unsquash(sg_out["weight01"])
+    if use_pallas:
+        from inverserenderingofindoorscene_tpu.ops.sg_render import sg_envmap
+
+        env_pred = sg_envmap(
+            sg_out["axis"], lamb, weight,
+            light_nets.env_height, light_nets.env_width,
+            interpret=jax.default_backend() != "tpu",
+        )
+    else:
+        env_pred = sg.sg_to_envmap(
+            sg_out["axis"], lamb, weight,
+            light_nets.env_height, light_nets.env_width,
+        )
 
     reconst_err, env_scaled = envmap_reconst_error(
         env_pred, env_gt, seg_env, offset, axis_name
