@@ -141,3 +141,133 @@ def test_light_losses_match_reference_wrapper():
         np.testing.assert_allclose(
             float(losses[k]), ref_errors[k], rtol=5e-3, err_msg=k
         )
+
+
+def test_light_cascade1_losses_match_reference_wrapper():
+    """Cascade-1 lighting: the previous SG tensor concat into the light
+    encoder (encoderLight cascadeLevel=1) + all six losses vs the
+    reference wrapper."""
+    import models as ref_models
+    import wrapperBRDFLight as ref_wrapper
+
+    from inverserenderingofindoorscene_tpu.pipeline.brdf import BRDFNets
+    from inverserenderingofindoorscene_tpu.pipeline.light import (
+        LightNets,
+        light_step,
+    )
+    from inverserenderingofindoorscene_tpu.utils import torch_import as ti
+
+    class _Opt1:
+        cascadeLevel = 1
+        imHeight, imWidth = 240, 320
+        envRow, envCol = 120, 160
+        envWidth, envHeight = 16, 8
+
+    torch.manual_seed(19)
+    b, h, w = 1, 240, 320
+    r, c, eh, ew = 120, 160, 8, 16
+
+    tenc = ref_models.encoder0(cascadeLevel=1).eval()
+    tdecs = [ref_models.decoder0(mode=m).eval() for m in (0, 1, 2, 4)]
+    tlenc = ref_models.encoderLight(SGNum=12, cascadeLevel=1).eval()
+    tldecs = [ref_models.decoderLight(SGNum=12, mode=m).eval()
+              for m in (0, 1, 2)]
+
+    rng = np.random.RandomState(19)
+
+    def mk(shape, lo=0.0, hi=1.0):
+        return rng.uniform(lo, hi, shape).astype(np.float32)
+
+    im = mk((b, h, w, 3))
+    albedo = mk((b, h, w, 3))
+    normal = mk((b, h, w, 3), -1, 1)
+    normal[..., 2] = np.abs(normal[..., 2]) + 0.3
+    normal /= np.linalg.norm(normal, axis=-1, keepdims=True)
+    rough = mk((b, h, w, 1), -1, 1)
+    depth = mk((b, h, w, 1), 0.2, 4.0)
+    seg_m = np.kron(rng.rand(b, h // 8, w // 8), np.ones((8, 8)))[..., None]
+    seg_area = (seg_m > 0.8).astype(np.float32)
+    seg_obj = (seg_m < 0.6).astype(np.float32)
+    seg_env = ((seg_m >= 0.6) & (seg_m <= 0.8)).astype(np.float32)
+    env_gt = (rng.rand(b, r, c, eh * ew, 3) * 2).astype(np.float32)
+    env_ind = np.ones((b, 1), np.float32)
+
+    albedo_pre = mk((b, r, c, 3))
+    albedo_pre = albedo_pre / albedo_pre.mean(axis=(1, 2, 3), keepdims=True) / 3
+    normal_pre = mk((b, r, c, 3))
+    rough_pre = mk((b, r, c, 1))
+    depth_pre = mk((b, r, c, 1), 0.1, 2.0)
+    depth_pre = depth_pre / depth_pre.mean(axis=(1, 2, 3), keepdims=True) / 3
+    diffuse_pre = mk((b, r, c, 3))
+    specular_pre = mk((b, r, c, 3), 0.0, 0.5)
+    env_pre = mk((b, r, c, 84))
+
+    orig = _patch_cuda()
+    try:
+        t = lambda x: torch.from_numpy(  # noqa: E731
+            np.ascontiguousarray(x.transpose(0, 3, 1, 2))
+        )
+        env_t = torch.from_numpy(
+            np.ascontiguousarray(
+                env_gt.reshape(b, r, c, eh, ew, 3).transpose(0, 5, 1, 2, 3, 4)
+            )
+        )
+        data_batch = {
+            "im": t(im), "albedo": t(albedo), "normal": t(normal),
+            "rough": t(rough), "depth": t(depth),
+            "segArea": t(seg_area), "segEnv": t(seg_env),
+            "segObj": t(seg_obj),
+            "envmaps": env_t,
+            "envmapsInd": torch.from_numpy(env_ind.reshape(b, 1, 1, 1)),
+            "albedoPre": t(albedo_pre), "normalPre": t(normal_pre),
+            "roughPre": t(rough_pre), "depthPre": t(depth_pre),
+            "diffusePre": t(diffuse_pre), "specularPre": t(specular_pre),
+            "envmapsPre": t(env_pre),
+        }
+        o2e = ref_models.output2env(SGNum=12, envWidth=ew, envHeight=eh,
+                                    isCuda=False)
+        rlayer = ref_models.renderingLayer(
+            imWidth=c, imHeight=r, envWidth=ew, envHeight=eh, isCuda=False
+        )
+        with torch.no_grad():
+            pairs = ref_wrapper.wrapperBRDFLight(
+                data_batch, _Opt1(), tenc, *tdecs, tlenc, *tldecs,
+                o2e, rlayer, isLightOut=False, offset=1.0,
+            )
+        names = ("albedo", "normal", "rough", "depth", "reconst", "render")
+        ref_errors = {nm: float(p[1]) for nm, p in zip(names, pairs)}
+    finally:
+        _unpatch(orig)
+
+    sd = lambda m: {k: v.numpy() for k, v in m.state_dict().items()}  # noqa: E731
+    bp = ti.brdf_params_from_torch(
+        sd(tenc), sd(tdecs[0]), sd(tdecs[1]), sd(tdecs[2]), sd(tdecs[3])
+    )
+    lp = ti.light_params_from_torch(
+        sd(tlenc), sd(tldecs[0]), sd(tldecs[1]), sd(tldecs[2])
+    )
+    batch = {
+        "im": jnp.asarray(im), "albedo": jnp.asarray(albedo),
+        "normal": jnp.asarray(normal), "rough": jnp.asarray(rough),
+        "depth": jnp.asarray(depth), "seg_brdf": jnp.asarray(seg_obj),
+        "seg_all": jnp.asarray(seg_area + seg_obj),
+        "env_gt": jnp.asarray(env_gt), "env_ind": jnp.asarray(env_ind),
+        "albedo_pre": jnp.asarray(albedo_pre),
+        "normal_pre": jnp.asarray(normal_pre),
+        "rough_pre": jnp.asarray(rough_pre),
+        "depth_pre": jnp.asarray(depth_pre),
+        "diffuse_pre": jnp.asarray(diffuse_pre),
+        "specular_pre": jnp.asarray(specular_pre),
+        "env_pre": jnp.asarray(env_pre),
+    }
+    brdf_nets = BRDFNets(cascade_level=1)
+    light_nets = LightNets(cascade_level=1)
+    losses, _ = jax.jit(
+        lambda bp, lp, bt: light_step(brdf_nets, light_nets, bp, lp, bt,
+                                      offset=1.0)
+    )(bp, lp, batch)
+
+    for k in ("albedo", "normal", "rough", "depth", "reconst", "render"):
+        np.testing.assert_allclose(
+            float(losses[k]), ref_errors[k], rtol=5e-3, err_msg=k
+        )

@@ -204,3 +204,60 @@ def test_light_stack_forward_parity(mode):
     else:
         out_t = out_t.transpose(0, 2, 3, 1)
     np.testing.assert_allclose(out_j, out_t, atol=1e-3)
+
+
+from inverserenderingofindoorscene_tpu.models.bilateral_net import (  # noqa: E402
+    ConfidenceNet,
+)
+
+
+def test_confidence_cnn_forward_parity():
+    """ConfidenceNet vs the reference BilateralLayer CNN (conf head only),
+    weights transferred via utils.torch_import.confidence_params."""
+    sys.path.insert(0, "/root/reference")
+    # BilateralLayer.py imports torchvision (unused by the CNN) — stub it
+    import types
+
+    for mod in ("torchvision", "torchvision.transforms"):
+        sys.modules.setdefault(mod, types.ModuleType(mod))
+    sys.modules["torchvision"].transforms = sys.modules[
+        "torchvision.transforms"
+    ]
+    sys.modules["torchvision"].datasets = types.ModuleType("datasets")
+    import BilateralLayer as ref_bl
+
+    from inverserenderingofindoorscene_tpu.utils import torch_import as ti
+
+    torch.manual_seed(17)
+    tbl = ref_bl.BilateralLayer(mode=0, isCuda=False).eval()
+    sd = {k: v.numpy() for k, v in tbl.state_dict().items()}
+    jp = ti.confidence_params(sd)
+
+    rng = np.random.RandomState(17)
+    im = rng.rand(1, H, W, 3).astype(np.float32) * 0.8
+    pred = rng.rand(1, H, W, 3).astype(np.float32)
+
+    out_j = np.asarray(ConfidenceNet(in_channels=6).apply(
+        jp, jnp.asarray(im), jnp.asarray(pred)
+    ))
+
+    # reference conf path (BilateralLayer.forward up to `conf`,
+    # BilateralLayer.py:242-270) without invoking the solver
+    with torch.no_grad():
+        timg = torch.from_numpy(im.transpose(0, 3, 1, 2))
+        tpred = torch.from_numpy(pred.transpose(0, 3, 1, 2))
+        scale = timg.amax(dim=(1, 2, 3), keepdim=True).clamp(1e-5, 1)
+        timg_n = timg / scale
+        x = torch.cat([timg_n, tpred], dim=1)
+        import torch.nn.functional as F
+
+        x1 = F.relu(tbl.gn1(tbl.conv1(tbl.pad1(x))), True)
+        x2 = F.relu(tbl.gn2(tbl.conv2(tbl.pad2(x1))), True)
+        dx1 = F.relu(tbl.dgn1(tbl.dconv1(x2)), True)
+        dx1 = F.interpolate(dx1, [x1.size(2), x1.size(3)], mode="bilinear")
+        dx2 = F.relu(tbl.dgn2(tbl.dconv2(torch.cat([dx1, x1], dim=1))), True)
+        dx2 = F.interpolate(dx2, [x.size(2), x.size(3)], mode="bilinear")
+        conf = 0.5 * (torch.tanh(tbl.dconvFinal(tbl.dpad3(dx2))) + 1)
+        conf = conf / torch.clamp(conf.max(), min=1e-5)
+    out_t = conf.numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(out_j, out_t, atol=2e-4)
