@@ -121,6 +121,56 @@ def make_loader(opt, phase: str, is_light: bool, shuffle=True):
     )
 
 
+def zip_max_cycle(loader_a, loader_b):
+    """Pair batches with epoch length = max(len) and the shorter loader
+    wrapping — the reference ConcatDataset semantics
+    (iiwDataLoader.py:14-22). Plain zip() would truncate the epoch to the
+    small real-data set."""
+    import itertools
+
+    n = max(len(loader_a), len(loader_b))
+
+    def cyc(ld):
+        while True:
+            yield from ld
+
+    return itertools.islice(zip(cyc(loader_a), cyc(loader_b)), n), n
+
+
+def load_frozen_cascade0(opt, rng):
+    """Frozen cascade-0 BRDF+Light stacks (for cascade-1 fine-tuning's
+    inline Pre synthesis, trainFineTuneIIW_cascade1.py:300-362)."""
+    import copy
+
+    import jax as _jax
+
+    from inverserenderingofindoorscene_tpu.cli.output_brdf_light import (
+        load_frozen_light,
+    )
+    from inverserenderingofindoorscene_tpu.cli.train_light import (
+        load_frozen_brdf,
+    )
+    from inverserenderingofindoorscene_tpu.pipeline.light import LightNets
+
+    opt0 = copy.copy(opt)
+    opt0.cascadeLevel = 0
+    if not hasattr(opt0, "offset"):
+        opt0.offset = 1.0
+    if not hasattr(opt0, "lightExperiment"):
+        opt0.lightExperiment = None
+    if not hasattr(opt0, "lightEpoch"):
+        opt0.lightEpoch = None
+    k1, k2 = _jax.random.split(rng)
+    brdf_nets0, brdf_params0 = load_frozen_brdf(opt0, k1)
+    light_nets0 = LightNets(
+        sg_num=opt.SGNum, cascade_level=0,
+        env_rows=opt.envRow, env_cols=opt.envCol,
+        env_height=opt.envHeight, env_width=opt.envWidth,
+    )
+    light_params0 = load_frozen_light(opt0, k2, light_nets0)
+    return brdf_nets0, light_nets0, brdf_params0, light_params0
+
+
 def dump_preview(exp, epoch, step, arrays: dict):
     """Periodic PNG dumps (trainBRDF.py:334-369 cadence is the caller's)."""
     from inverserenderingofindoorscene_tpu.utils.io import write_image

@@ -278,7 +278,10 @@ def refine_bs(im, preds, bs_params=None):
     With trained confidence CNNs when a checkpoint is available; unit
     confidence otherwise."""
     h, w = im.shape[1:3]
+    # max-normalize the guide like the reference (BilateralLayer.py:250-253)
     guide = preds["albedo"]
+    gmax = jnp.clip(jnp.max(guide), 1e-5, 1.0)
+    guide = guide / gmax
     if bs_params is None:
         ones = jnp.ones((1, h, w, 1), jnp.float32)
         conf_a = conf_r = conf_d = ones
@@ -390,13 +393,16 @@ def main(argv=None):
 
         final = all_preds[-1]
         lvl = len(all_preds) - 1
-        np.save(out(f"{name}_albedo{lvl}.npy"), np.asarray(final["albedo"][0]))
+        # the cAlbedo global-scale disambiguation applies to the saved
+        # albedo (testReal.py:546-549)
+        c_albedo = light_out["c_albedo"] if light_out is not None else 1.0
+        albedo_out = np.asarray(final["albedo"][0]) * c_albedo
+        np.save(out(f"{name}_albedo{lvl}.npy"), albedo_out)
         np.save(out(f"{name}_normal{lvl}.npy"), np.asarray(final["normal"][0]))
         np.save(out(f"{name}_rough{lvl}.npy"), np.asarray(final["rough"][0]))
         np.save(out(f"{name}_depth{lvl}.npy"), np.asarray(final["depth"][0]))
         write_image(
-            np.asarray(final["albedo"][0]), out(f"{name}_albedo{lvl}.png"),
-            gamma=True,
+            albedo_out, out(f"{name}_albedo{lvl}.png"), gamma=True,
         )
         write_image(
             np.asarray(0.5 * (final["normal"][0] + 1.0)),
@@ -430,7 +436,7 @@ def main(argv=None):
                 np.array([light_out["c_albedo"], light_out["c_light"]]),
             )
         if bs_out is not None:
-            write_image(np.asarray(bs_out["albedo"][0]),
+            write_image(np.asarray(bs_out["albedo"][0]) * c_albedo,
                         out(f"{name}_albedoBs{lvl}.png"), gamma=True)
             write_image(np.asarray(0.5 * (bs_out["rough"][0] + 1)),
                         out(f"{name}_roughBs{lvl}.png"))

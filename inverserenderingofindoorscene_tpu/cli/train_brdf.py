@@ -72,6 +72,11 @@ def main(argv=None):
         donate_argnums=(0,),
     )
 
+    from inverserenderingofindoorscene_tpu.pipeline.brdf import brdf_forward
+
+    # hoisted: one compiled preview forward, reused every dump
+    preview_fn = jax.jit(lambda p, b: brdf_forward(nets, p, b))
+
     logger = MetricLogger(f"{exp}/trainingLog.txt")
     for epoch in range(start_epoch, opt.nepoch):
         for j, np_batch in enumerate(loader):
@@ -81,13 +86,7 @@ def main(argv=None):
             state, metrics = step_fn(state, batch)
             logger.log(epoch, j, {k: float(v) for k, v in metrics.items()})
             if opt.previewEvery and j % opt.previewEvery == 0:
-                from inverserenderingofindoorscene_tpu.pipeline.brdf import (
-                    brdf_forward,
-                )
-
-                preds = jax.jit(
-                    lambda p, b: brdf_forward(nets, p, b)
-                )(state.params, batch)
+                preds = preview_fn(state.params, batch)
                 common.dump_preview(exp, epoch, j, {
                     "im": (batch["im"], True),
                     "albedoGt": (batch["albedo"], True),

@@ -73,13 +73,28 @@ def main(argv=None):
         make_iiw_train_step(nets, rank_w=opt.rankWeight), donate_argnums=(0,)
     )
 
+    # At cascade 1 the real-data batches need the *_pre inputs synthesized
+    # by the frozen cascade-0 stack (trainFineTuneIIW_cascade1.py:300-362).
+    synth = None
+    if opt.cascadeLevel > 0:
+        from inverserenderingofindoorscene_tpu.pipeline.finetune import (
+            synthesize_pre,
+        )
+
+        c0 = common.load_frozen_cascade0(opt, jax.random.PRNGKey(opt.seed + 7))
+        synth = jax.jit(lambda b: synthesize_pre(*c0, b))
+
     logger = MetricLogger(f"{exp}/trainingLog.txt")
     for epoch in range(opt.nepoch):
-        for j, (syn_np, iiw_np) in enumerate(zip(syn_loader, iiw_loader)):
+        pairs, _ = common.zip_max_cycle(syn_loader, iiw_loader)
+        for j, (syn_np, iiw_np) in enumerate(pairs):
             if opt.maxSteps is not None and j >= opt.maxSteps:
                 break
             state, m1 = syn_step(state, common.stage_batch(syn_np))
-            state, m2 = iiw_step_fn(state, common.stage_batch(iiw_np))
+            iiw_batch = common.stage_batch(iiw_np)
+            if synth is not None:
+                iiw_batch = synth(iiw_batch)
+            state, m2 = iiw_step_fn(state, iiw_batch)
             logger.log(
                 epoch, j,
                 {**{f"syn_{k}": float(v) for k, v in m1.items()},

@@ -79,13 +79,28 @@ def main(argv=None):
         donate_argnums=(0,),
     )
 
+    # At cascade 1 the real-data batches need the *_pre inputs synthesized
+    # by the frozen cascade-0 stack (trainFineTuneNYU_cascade1.py:311-374).
+    synth = None
+    if opt.cascadeLevel > 0:
+        from inverserenderingofindoorscene_tpu.pipeline.finetune import (
+            synthesize_pre,
+        )
+
+        c0 = common.load_frozen_cascade0(opt, jax.random.PRNGKey(opt.seed + 7))
+        synth = jax.jit(lambda b: synthesize_pre(*c0, b))
+
     logger = MetricLogger(f"{exp}/trainingLog.txt")
     for epoch in range(opt.nepoch):
-        for j, (syn_np, nyu_np) in enumerate(zip(syn_loader, nyu_loader)):
+        pairs, _ = common.zip_max_cycle(syn_loader, nyu_loader)
+        for j, (syn_np, nyu_np) in enumerate(pairs):
             if opt.maxSteps is not None and j >= opt.maxSteps:
                 break
             state, m1 = syn_step(state, common.stage_batch(syn_np))
-            state, m2 = nyu_step_fn(state, common.stage_batch(nyu_np))
+            nyu_batch = common.stage_batch(nyu_np)
+            if synth is not None:
+                nyu_batch = synth(nyu_batch)
+            state, m2 = nyu_step_fn(state, nyu_batch)
             logger.log(
                 epoch, j,
                 {**{f"syn_{k}": float(v) for k, v in m1.items()},

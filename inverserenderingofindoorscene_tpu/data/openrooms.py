@@ -214,7 +214,9 @@ class OpenRoomsDataset:
             return np.zeros((r, c, d, 3), np.float32), 0.0
         eh0, ew0 = 16, 32
         assert eh0 % eh == 0 and (eh0 // eh) == (ew0 // ew)
-        env = env.reshape(r, eh0, c, ew0, 3)[:, :, :, :, ::-1]  # BGR->RGB
+        # NB: the reference does NOT flip BGR->RGB here (loadEnvmap,
+        # dataLoader.py:298-310 — unlike loadHdr); keep its exact behavior.
+        env = env.reshape(r, eh0, c, ew0, 3)
         env = env.transpose(0, 2, 1, 3, 4)  # [R,C,eh0,ew0,3]
         s = eh0 // eh
         if s > 1:
@@ -341,6 +343,8 @@ class BatchIterator:
         return n // self.bs if self.drop_last else (n + self.bs - 1) // self.bs
 
     def __iter__(self):
+        from concurrent.futures import ThreadPoolExecutor
+
         order = list(range(len(self.ds)))
         if self.shuffle:
             self.rng.shuffle(order)
@@ -350,19 +354,18 @@ class BatchIterator:
         if self.drop_last:
             batches = [b for b in batches if len(b) == self.bs]
 
-        q = queue_mod.Queue(maxsize=self.workers * 2)
+        q = queue_mod.Queue(maxsize=max(self.workers, 1) * 2)
         stop = object()
 
         def produce():
-            for idxs in batches:
-                items = [self.ds[i] for i in idxs]
-                out = {}
-                for k in items[0]:
-                    if k == "name":
-                        out[k] = [it[k] for it in items]
-                    else:
-                        out[k] = np.stack([it[k] for it in items])
-                q.put(out)
+            if self.workers > 1:
+                with ThreadPoolExecutor(max_workers=self.workers) as pool:
+                    for idxs in batches:
+                        items = list(pool.map(self.ds.__getitem__, idxs))
+                        q.put(self._collate(items))
+            else:
+                for idxs in batches:
+                    q.put(self._collate([self.ds[i] for i in idxs]))
             q.put(stop)
 
         t = threading.Thread(target=produce, daemon=True)
@@ -372,3 +375,13 @@ class BatchIterator:
             if item is stop:
                 break
             yield item
+
+    @staticmethod
+    def _collate(items):
+        out = {}
+        for k in items[0]:
+            if k == "name":
+                out[k] = [it[k] for it in items]
+            else:
+                out[k] = np.stack([it[k] for it in items])
+        return out

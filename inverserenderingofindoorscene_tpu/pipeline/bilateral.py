@@ -72,7 +72,15 @@ def refine(
     The grid guide (``feature``) is always the detached albedo prediction.
     """
     v_max = nets.v_max or (im.shape[1] * im.shape[2])
+    # The guide ("feature") is max-normalized per image before the grid is
+    # built, like the reference (BilateralLayer.py:250-253:
+    # feature / clamp(max(feature), 1e-5, 1)).
     guide = jax.lax.stop_gradient(preds["albedo"])
+    b = guide.shape[0]
+    gmax = jnp.clip(
+        jnp.max(guide.reshape(b, -1), axis=1), 1e-5, 1.0
+    ).reshape(b, 1, 1, 1)
+    guide = guide / gmax
     modules = nets.nets
 
     conf_a = modules["albedo"].apply(params["albedo"], im, preds["albedo"])

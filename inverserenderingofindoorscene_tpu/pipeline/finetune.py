@@ -15,9 +15,80 @@ import jax
 import jax.numpy as jnp
 
 from inverserenderingofindoorscene_tpu.core.imageops import resize_bilinear
-from inverserenderingofindoorscene_tpu.core.scale import ls_regress
+from inverserenderingofindoorscene_tpu.core.scale import (
+    ls_regress,
+    ls_regress_diff_spec,
+)
 from inverserenderingofindoorscene_tpu.losses.ranking import batch_ranking_loss
 from inverserenderingofindoorscene_tpu.pipeline.brdf import BRDFNets, brdf_forward
+
+
+def synthesize_pre(
+    brdf_nets0: "BRDFNets",
+    light_nets0,
+    brdf_params0,
+    light_params0,
+    batch: dict,
+) -> dict:
+    """Run the frozen cascade-0 BRDF+Light stack inline to synthesize the
+    ``*_pre`` inputs for a real-data batch at cascade 1
+    (trainFineTuneIIW_cascade1.py:300-362): mean-normalized albedo/depth,
+    [0,1]-shifted normal/rough, LSregressDiffSpec-fit diffuse/specular at
+    the lighting grid, and the flat SG tensor.  Returns batch + pre keys
+    (all stop-gradiented).
+    """
+    import jax as _jax
+
+    from inverserenderingofindoorscene_tpu.core import sg as _sg
+    from inverserenderingofindoorscene_tpu.core.imageops import (
+        adaptive_avg_pool,
+    )
+    from inverserenderingofindoorscene_tpu.core.render_layer import RenderLayer
+    from inverserenderingofindoorscene_tpu.pipeline.light import (
+        light_forward,
+        mean_normalize,
+    )
+
+    im = batch["im"]
+    preds = brdf_forward(brdf_nets0, brdf_params0, {"im": im})
+    preds = dict(preds)
+    preds["albedo"] = mean_normalize(preds["albedo"])
+    preds["depth"] = mean_normalize(preds["depth"])
+
+    sg_out = light_forward(light_nets0, light_params0, im, preds)
+    lamb = _sg.unsquash(sg_out["lamb01"])
+    weight = _sg.unsquash(sg_out["weight01"])
+    env_img = _sg.sg_to_envmap(
+        sg_out["axis"], lamb, weight,
+        light_nets0.env_height, light_nets0.env_width,
+    )
+    r, c = light_nets0.env_rows, light_nets0.env_cols
+    layer = RenderLayer(env_rows=r, env_cols=c,
+                        env_height=light_nets0.env_height,
+                        env_width=light_nets0.env_width)
+    diffuse, specular = layer.forward_env(
+        preds["albedo"], preds["normal"], preds["rough"],
+        jax.lax.stop_gradient(env_img),
+    )
+    im_small = adaptive_avg_pool(im, (r, c))
+    diffuse, specular = ls_regress_diff_spec(
+        diffuse, specular, im_small, diffuse, specular
+    )
+
+    out = dict(batch)
+    pre = {
+        "albedo_pre": preds["albedo"],
+        "normal_pre": 0.5 * (preds["normal"] + 1.0),
+        "rough_pre": 0.5 * (preds["rough"] + 1.0),
+        "depth_pre": preds["depth"],
+        "diffuse_pre": diffuse,
+        "specular_pre": specular,
+        "env_pre": sg_out["sg_flat"],
+    }
+    out.update(
+        {k: _jax.lax.stop_gradient(v) for k, v in pre.items()}
+    )
+    return out
 
 
 def iiw_step(nets: BRDFNets, params: dict, batch: dict):

@@ -14,20 +14,9 @@ python -m inverserenderingofindoorscene_tpu.cli.output_brdf_light \
     --dataRoot "$DATA_ROOT" --cascadeLevel 0
 python -m inverserenderingofindoorscene_tpu.cli.train_finetune_iiw \
     --dataRoot "$DATA_ROOT" --iiwRoot "$IIW_ROOT" --cascadeLevel 1
-# inference over the IIW test list + WHDR
+# inference over the IIW test list (paths under $IIW_ROOT) + WHDR
+sed "s|^|$IIW_ROOT/|" IIWTest.txt > /tmp/iiw_test_paths.txt
 python -m inverserenderingofindoorscene_tpu.cli.test_real \
-    --imList IIWTest.txt --output IIW_results --level 2
-python - <<'PY'
-import glob, json
-import numpy as np
-from inverserenderingofindoorscene_tpu.eval.metrics import compute_whdr
-total, cnt = 0.0, 0
-for albedo_npy in glob.glob('IIW_results/*_albedo1.npy'):
-    judgement = albedo_npy.replace('_albedo1.npy', '.json')
-    refl = np.load(albedo_npy)
-    with open(judgement) as f:
-        res = compute_whdr(refl, json.load(f))
-    if res:
-        total += res[0]; cnt += 1
-print('WHDR:', total / max(cnt, 1))
-PY
+    --imList /tmp/iiw_test_paths.txt --output IIW_results --level 2
+python -m inverserenderingofindoorscene_tpu.cli.compare whdr \
+    --predRoot IIW_results --gtRoot "$IIW_ROOT" --level 1

@@ -14,6 +14,11 @@ python -m inverserenderingofindoorscene_tpu.cli.train_finetune_nyu \
     --dataRoot "$DATA_ROOT" --nyuImRoot "$NYU_ROOT/images" \
     --nyuNormalRoot "$NYU_ROOT/normals" --nyuDepthRoot "$NYU_ROOT/depths" \
     --nyuSegRoot "$NYU_ROOT/segs" --cascadeLevel 1
+# inference over the NYU test list (paths under $NYU_ROOT/images) + metrics
+sed "s|^|$NYU_ROOT/images/|" NYUTest.txt > /tmp/nyu_test_paths.txt
 python -m inverserenderingofindoorscene_tpu.cli.test_real \
-    --imList NYUTest.txt --output NYU_results --level 2
-# metrics: eval/metrics.normal_angle_error + si_log_depth_rmse over outputs
+    --imList /tmp/nyu_test_paths.txt --output NYU_results --level 2
+python -m inverserenderingofindoorscene_tpu.cli.compare normal \
+    --predRoot NYU_results --gtRoot "$NYU_ROOT/normals" --level 1
+python -m inverserenderingofindoorscene_tpu.cli.compare depth \
+    --predRoot NYU_results --gtRoot "$NYU_ROOT/depths" --level 1

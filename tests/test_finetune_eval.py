@@ -169,3 +169,48 @@ def test_pred_to_shading_matches_sg_oracle():
     wgt = np.repeat(np.cos(el) * np.sin(el), 32)
     want = np.einsum("rcdk,d->rck", env, wgt)
     np.testing.assert_allclose(shading, np.maximum(want, 0), rtol=1e-5)
+
+
+def test_cascade1_finetune_synthesize_pre():
+    """Cascade-1 fine-tune on real data: the frozen cascade-0 stack
+    synthesizes the *_pre inputs inline (trainFineTuneIIW_cascade1.py:
+    300-362) and the 17-ch cascade-1 forward runs on them."""
+    from inverserenderingofindoorscene_tpu.pipeline.finetune import (
+        synthesize_pre,
+    )
+
+    brdf0 = BRDFNets(cascade_level=0)
+    light0 = LightNets(
+        cascade_level=0, env_rows=ENV_RC[0], env_cols=ENV_RC[1]
+    )
+    bp0 = brdf0.init(jax.random.PRNGKey(0), IM_HW)
+    lp0 = light0.init(jax.random.PRNGKey(1))
+
+    rng = np.random.RandomState(4)
+    batch = {"im": jnp.asarray(rng.rand(2, *IM_HW, 3), jnp.float32)}
+    full = jax.jit(
+        lambda b: synthesize_pre(brdf0, light0, bp0, lp0, b)
+    )(batch)
+    for k in ("albedo_pre", "normal_pre", "rough_pre", "depth_pre",
+              "diffuse_pre", "specular_pre", "env_pre"):
+        assert k in full, k
+        assert np.all(np.isfinite(np.asarray(full[k]))), k
+    assert full["env_pre"].shape == (2, ENV_RC[0], ENV_RC[1], 84)
+    # normal/rough shifted to [0,1]
+    assert float(full["normal_pre"].min()) >= 0.0
+    assert float(full["rough_pre"].max()) <= 1.0
+
+    # cascade-1 IIW step consumes the synthesized batch
+    nets1 = BRDFNets(cascade_level=1)
+    p1 = nets1.init(jax.random.PRNGKey(2), IM_HW)
+    n = 20
+    full.update({
+        "eq_point": jnp.asarray(rng.randint(0, IM_HW[0], (2, n, 4)), jnp.int32),
+        "eq_weight": jnp.asarray(rng.rand(2, n), jnp.float32),
+        "eq_num": jnp.asarray([n, n], jnp.int32),
+        "darker_point": jnp.asarray(rng.randint(0, IM_HW[0], (2, n, 4)), jnp.int32),
+        "darker_weight": jnp.asarray(rng.rand(2, n), jnp.float32),
+        "darker_num": jnp.asarray([n, n], jnp.int32),
+    })
+    _, eq_l, dk_l = jax.jit(lambda p, b: iiw_step(nets1, p, b))(p1, full)
+    assert np.isfinite(float(eq_l)) and np.isfinite(float(dk_l))
