@@ -38,8 +38,11 @@ def parse_args(argv=None):
 
 def load_frozen_light(opt, rng, light_nets):
     params = light_nets.init(rng)
+    naming_offset = getattr(opt, "trainOffset", None)
+    if naming_offset is None:
+        naming_offset = getattr(opt, "offset", 1.0)
     exp = opt.lightExperiment or "check_cascadeLight%d_sg%d_offset%.1f" % (
-        opt.cascadeLevel, opt.SGNum, opt.offset
+        opt.cascadeLevel, opt.SGNum, naming_offset
     )
     epoch = opt.lightEpoch
     if epoch is None:

@@ -34,6 +34,7 @@ from inverserenderingofindoorscene_tpu.pipeline.brdf import BRDFNets
 from inverserenderingofindoorscene_tpu.pipeline.light import (
     LightNets,
     light_forward,
+    light_input_from_preds,
     mean_normalize,
 )
 from inverserenderingofindoorscene_tpu.utils.io import (
@@ -134,7 +135,9 @@ def load_real_image(path, im_hw, env_rc):
         else:
             h = max_h
             w = int(float(max_h) / nh * nw)
-        interp = cv2.INTER_AREA if nh >= h else cv2.INTER_LINEAR
+        # reference quirk kept for parity (testReal.py:306-309): INTER_AREA
+        # when UPSCALING (nh < newH), INTER_LINEAR when downscaling
+        interp = cv2.INTER_AREA if nh < h else cv2.INTER_LINEAR
         out = cv2.resize(im_cpu, (w, h), interpolation=interp)
         out = out.astype(np.float32) / 255.0
         out = out / out.max()
@@ -168,17 +171,7 @@ def predict_light_core(light_nets, lp, im, preds, im_small, fov,
     (testReal.py:382-419). The data-dependent cLight/cAlbedo branching
     stays in Python (predict_light)."""
     eh, ew = im_small.shape[1:3]
-    light_hw = (eh * 4, ew * 4)
-    inp = jnp.concatenate(
-        [
-            resize_bilinear(im, light_hw),
-            resize_bilinear(preds["albedo"], light_hw),
-            0.5 * (resize_bilinear(preds["normal"], light_hw) + 1.0),
-            0.5 * (resize_bilinear(preds["rough"], light_hw) + 1.0),
-            resize_bilinear(preds["depth"], light_hw),
-        ],
-        axis=-1,
-    )
+    inp = light_input_from_preds(im, preds, (eh * 4, ew * 4))
     feats = light_nets.encoder.apply(lp["encoder"], inp, env_pre)
     decs = light_nets.decoders
     axis = decs["axis"].apply(lp["axis"], feats, (eh, ew))

@@ -39,6 +39,9 @@ def parse_args(argv=None):
                    choices=["brdf", "light", "bilateral"])
     p.add_argument("--offset", type=float, default=1e-3,
                    help="envmap log offset at eval (testLight.py:222)")
+    p.add_argument("--trainOffset", type=float, default=1.0,
+                   help="offset the light stage was TRAINED with — used "
+                        "only for the checkpoint experiment-dir name")
     p.add_argument("--brdfExperiment", default=None)
     p.add_argument("--brdfEpoch", type=int, default=None)
     p.add_argument("--lightExperiment", default=None)

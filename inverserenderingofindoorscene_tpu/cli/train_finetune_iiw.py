@@ -3,7 +3,7 @@
 Alternates one synthetic batch (full BRDF losses) and one IIW batch
 (ranking losses, weight rankW=2) per optimizer cycle
 (/root/reference/trainFineTuneIIW.py:147-263), optimizing the whole BRDF
-stack at lr 1e-5 scaled by the resume-epoch rule.
+stack at the reference's lr 1e-4.
 """
 
 from __future__ import annotations
@@ -33,7 +33,8 @@ def parse_args(argv=None):
     p.add_argument("--normalWeight", type=float, default=1.0)
     p.add_argument("--roughWeight", type=float, default=0.5)
     p.add_argument("--depthWeight", type=float, default=0.5)
-    p.add_argument("--lr", type=float, default=1e-5)
+    p.add_argument("--lr", type=float, default=1e-4,
+                   help="reference: trainFineTuneIIW.py:94,115 (lr_scale=1)")
     p.add_argument("--brdfExperiment", default=None)
     p.add_argument("--brdfEpoch", type=int, default=None)
     p.set_defaults(nepoch=3)
@@ -50,13 +51,6 @@ def main(argv=None):
     rng = common.pin_seeds(opt.seed)
 
     nets, params = load_frozen_brdf(opt, rng)  # init point, NOT frozen here
-    # reference resume rule: LR scaled by 1/2^floor((epoch+1)/10)
-    from inverserenderingofindoorscene_tpu.utils.checkpoint import (
-        lr_scale_for_epoch,
-    )
-
-    if opt.brdfEpoch is not None:
-        opt.lr = opt.lr * lr_scale_for_epoch(opt.brdfEpoch)
     syn_loader = common.make_loader(opt, "TRAIN", is_light=False)
     iiw_ds = IIWDataset(opt.iiwRoot, opt.iiwList,
                         im_hw=(opt.imHeight, opt.imWidth), seed=opt.seed)

@@ -36,7 +36,8 @@ def parse_args(argv=None):
     p.add_argument("--normalWeight", type=float, default=1.0)
     p.add_argument("--roughWeight", type=float, default=0.5)
     p.add_argument("--depthWeight", type=float, default=0.5)
-    p.add_argument("--lr", type=float, default=1e-5)
+    p.add_argument("--lr", type=float, default=5e-5,
+                   help="reference: trainFineTuneNYU.py:100,122 (1e-4 * lr_scale=0.5)")
     p.add_argument("--brdfExperiment", default=None)
     p.add_argument("--brdfEpoch", type=int, default=None)
     p.set_defaults(nepoch=3)
@@ -53,13 +54,6 @@ def main(argv=None):
     rng = common.pin_seeds(opt.seed)
 
     nets, params = load_frozen_brdf(opt, rng)
-    # reference resume rule: LR scaled by 1/2^floor((epoch+1)/10)
-    from inverserenderingofindoorscene_tpu.utils.checkpoint import (
-        lr_scale_for_epoch,
-    )
-
-    if opt.brdfEpoch is not None:
-        opt.lr = opt.lr * lr_scale_for_epoch(opt.brdfEpoch)
     syn_loader = common.make_loader(opt, "TRAIN", is_light=False)
     nyu_ds = NYUDataset(
         opt.nyuImRoot, opt.nyuNormalRoot, opt.nyuDepthRoot, opt.nyuSegRoot,

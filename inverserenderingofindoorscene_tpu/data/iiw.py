@@ -30,7 +30,16 @@ class IIWDataset:
         self.im_hw = im_hw
         self.phase = phase.upper()
         self.max_num = max_num
-        self.rng = np.random.RandomState(seed)
+        self.seed = 0 if seed is None else seed
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int):
+        self._epoch = epoch
+
+    def _item_rng(self, ind):
+        return np.random.RandomState(
+            (self.seed * 1000003 + self._epoch * 7919 + ind) % (2**31)
+        )
 
     def __len__(self):
         return len(self.im_list)
@@ -39,6 +48,7 @@ class IIWDataset:
         from PIL import Image
 
         ind = ind % len(self.im_list)
+        rng = self._item_rng(ind)
         with open(self.json_list[ind]) as f:
             judgements = json.load(f)
 
@@ -48,10 +58,10 @@ class IIWDataset:
         scale_w, scale_h = w / nw, h / nh
         if scale_w > scale_h:
             new_w, new_h = w, int(np.ceil(scale_w * nh))
-            cs, rs = 0, self.rng.randint(new_h - h + 1)
+            cs, rs = 0, rng.randint(new_h - h + 1)
         else:
             new_h, new_w = h, int(np.ceil(scale_h * nw))
-            rs, cs = 0, self.rng.randint(new_w - w + 1)
+            rs, cs = 0, rng.randint(new_w - w + 1)
         im = np.asarray(
             im.resize([new_w, new_h], Image.LANCZOS), dtype=np.float32
         ) / 255.0
@@ -101,7 +111,7 @@ class IIWDataset:
                     [weights, np.zeros(self.max_num - n, np.float32)]
                 )
             elif n > self.max_num:
-                idx = self.rng.permutation(n)[: self.max_num]
+                idx = rng.permutation(n)[: self.max_num]
                 points, weights, n = points[idx], weights[idx], self.max_num
             return points, weights, np.int32(n)
 

@@ -31,7 +31,16 @@ class NYUDataset:
         self.im_hw = im_hw
         self.crop_w = crop_w
         self.phase = phase.upper()
-        self.rng = np.random.RandomState(seed)
+        self.seed = 0 if seed is None else seed
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int):
+        self._epoch = epoch
+
+    def _item_rng(self, ind):
+        return np.random.RandomState(
+            (self.seed * 1000003 + self._epoch * 7919 + ind) % (2**31)
+        )
 
     def __len__(self):
         return len(self.im_list)
@@ -57,13 +66,14 @@ class NYUDataset:
         import cv2
 
         ind = ind % len(self.im_list)
+        rng = self._item_rng(ind)
         h, w = self.im_hw
         if self.phase == "TRAIN":
             lo, hi = self.crop_w
-            cw = int(np.round((hi - lo) * self.rng.random_sample() + lo))
+            cw = int(np.round((hi - lo) * rng.random_sample() + lo))
             ch = int(h / w * cw)
-            rs = int(np.round((480 - ch) * self.rng.random_sample()))
-            cs = int(np.round((640 - cw) * self.rng.random_sample()))
+            rs = int(np.round((480 - ch) * rng.random_sample()))
+            cs = int(np.round((640 - cw) * rng.random_sample()))
             crop = (rs, rs + ch, cs, cs + cw)
         else:
             ch, cw = 480, 640
@@ -94,14 +104,14 @@ class NYUDataset:
         )
 
         if self.phase == "TRAIN":
-            if self.rng.random_sample() > 0.5:
+            if rng.random_sample() > 0.5:
                 normal = np.ascontiguousarray(normal[:, ::-1])
                 normal[:, :, 0] = -normal[:, :, 0]
                 depth = np.ascontiguousarray(depth[:, ::-1])
                 seg = np.ascontiguousarray(seg[:, ::-1])
                 seg_depth = np.ascontiguousarray(seg_depth[:, ::-1])
                 im = np.ascontiguousarray(im[:, ::-1])
-            scale = 1 + (self.rng.random_sample(3) * 0.4 - 0.2)
+            scale = 1 + (rng.random_sample(3) * 0.4 - 0.2)
             im = im * scale.reshape(1, 1, 3)
 
         return {

@@ -107,7 +107,21 @@ class OpenRoomsDataset:
         self.env_hw = env_hw
         self.env_rc = env_rc
         self.sg_num = sg_num
-        self.rng = np.random.RandomState(seed)
+        self.seed = 0 if seed is None else seed
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int):
+        """Advance the augmentation stream (called by BatchIterator each
+        epoch so crops/exposures differ per epoch but stay deterministic)."""
+        self._epoch = epoch
+
+    def _item_rng(self, ind: int) -> np.random.RandomState:
+        """Deterministic per-(seed, epoch, item) RNG — safe under
+        concurrent __getitem__ from the prefetch thread pool (a shared
+        RandomState would make augmentations depend on thread timing)."""
+        return np.random.RandomState(
+            (self.seed * 1000003 + self._epoch * 7919 + ind) % (2**31)
+        )
 
     def __len__(self):
         return len(self.im_list)
@@ -161,14 +175,14 @@ class OpenRoomsDataset:
         im = cv2.resize(im, (w, h), interpolation=cv2.INTER_AREA)
         return np.ascontiguousarray(im[:, :, ::-1]).astype(np.float32)
 
-    def _scale_hdr(self, hdr, seg):
+    def _scale_hdr(self, hdr, seg, rng):
         """Exposure scaling to the 95th-pct masked intensity
         (scaleHdr, dataLoader.py:251-259)."""
         h, w = self.im_hw
         arr = np.sort((hdr * seg).flatten())
         pivot = np.clip(arr[int(0.95 * h * w * 3)], 0.1, None)
         if self.phase == "TRAIN":
-            scale = (0.95 - 0.1 * self.rng.random_sample()) / pivot
+            scale = (0.95 - 0.1 * rng.random_sample()) / pivot
         else:
             scale = (0.95 - 0.05) / pivot
         return np.clip(scale * hdr, 0, 1), scale
@@ -242,7 +256,7 @@ class OpenRoomsDataset:
         seg_obj = seg_obj.astype(np.float32)
 
         im = self._load_hdr(paths["im"])
-        im, scale = self._scale_hdr(im, seg)
+        im, scale = self._scale_hdr(im, seg, self._item_rng(ind))
 
         albedo = self._load_ldr(paths["albedo"])
         albedo = (0.5 * (albedo + 1.0)) ** 2.2
@@ -337,6 +351,7 @@ class BatchIterator:
         self.workers = num_workers
         self.drop_last = drop_last
         self.rng = random.Random(seed)
+        self._epoch_counter = 0
 
     def __len__(self):
         n = len(self.ds)
@@ -344,6 +359,10 @@ class BatchIterator:
 
     def __iter__(self):
         from concurrent.futures import ThreadPoolExecutor
+
+        if hasattr(self.ds, "set_epoch"):
+            self.ds.set_epoch(self._epoch_counter)
+        self._epoch_counter += 1
 
         order = list(range(len(self.ds)))
         if self.shuffle:
@@ -357,24 +376,46 @@ class BatchIterator:
         q = queue_mod.Queue(maxsize=max(self.workers, 1) * 2)
         stop = object()
 
+        abort = threading.Event()
+
+        def put(item):
+            while not abort.is_set():
+                try:
+                    q.put(item, timeout=0.5)
+                    return True
+                except queue_mod.Full:
+                    continue
+            return False
+
         def produce():
             if self.workers > 1:
                 with ThreadPoolExecutor(max_workers=self.workers) as pool:
                     for idxs in batches:
+                        if abort.is_set():
+                            return
                         items = list(pool.map(self.ds.__getitem__, idxs))
-                        q.put(self._collate(items))
+                        if not put(self._collate(items)):
+                            return
             else:
                 for idxs in batches:
-                    q.put(self._collate([self.ds[i] for i in idxs]))
-            q.put(stop)
+                    if abort.is_set():
+                        return
+                    if not put(self._collate([self.ds[i] for i in idxs])):
+                        return
+            put(stop)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                break
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is stop:
+                    break
+                yield item
+        finally:
+            # early break / generator close: release the producer so it
+            # doesn't stay blocked holding staged batches
+            abort.set()
 
     @staticmethod
     def _collate(items):

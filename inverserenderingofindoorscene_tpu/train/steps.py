@@ -59,9 +59,14 @@ def reference_adam(lr: float = 1e-4, epoch_decay_steps: Optional[int] = None):
 
     If ``epoch_decay_steps`` (steps per 10 epochs) is given, lr is halved
     every that many steps, matching trainBRDF.py:374-384.
+
+    The learning rate is ALWAYS a schedule (constant when no decay) so the
+    optax state tree is identical with and without decay — cross-stage
+    checkpoint restore (save with schedule, load with constant) would
+    otherwise fail on an orbax tree-structure mismatch.
     """
     if epoch_decay_steps is None:
-        sched = lr
+        sched = lambda step: lr  # noqa: E731
     else:
         sched = lambda step: lr * 0.5 ** (step // epoch_decay_steps)  # noqa: E731
     return optax.adam(learning_rate=sched, b1=0.5, b2=0.999, eps=1e-8)

@@ -43,3 +43,24 @@ def test_lr_scale_rule():
     assert ckpt.lr_scale_for_epoch(8) == 1.0
     assert ckpt.lr_scale_for_epoch(9) == 0.5
     assert ckpt.lr_scale_for_epoch(19) == 0.25
+
+
+def test_cross_stage_restore_schedule_vs_constant(tmp_path):
+    """A checkpoint saved by a training driver (scheduled Adam) must load
+    into a stage that builds its restore target with constant-lr Adam —
+    the cross-stage hand-off every loader relies on."""
+    exp = str(tmp_path / "exp")
+    nets = BRDFNets(cascade_level=0)
+    params = nets.init(jax.random.PRNGKey(0), (32, 32))
+    trained = create_train_state(
+        params, reference_adam(1e-4, epoch_decay_steps=100)
+    )
+    ckpt.save_checkpoint(exp, "brdf", 0, 0, trained)
+
+    target = create_train_state(params, reference_adam(1e-4))
+    restored = ckpt.restore_checkpoint(exp, "brdf", 0, 0, target)
+    diff = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), restored.params,
+        trained.params,
+    )
+    assert max(jax.tree_util.tree_leaves(diff)) == 0.0
