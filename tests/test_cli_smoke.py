@@ -113,7 +113,7 @@ def test_train_brdf_cli(dataset, tmp_path):
 
 
 def test_train_light_cli(dataset, tmp_path):
-    from inverserenderingofindoorscene_tpu.cli import train_light
+    from inverserenderingofindoorscene_tpu.cli import test_synthetic, train_light
 
     exp = str(tmp_path / "exp_light")
     train_light.main(
@@ -123,6 +123,15 @@ def test_train_light_cli(dataset, tmp_path):
     from inverserenderingofindoorscene_tpu.utils import checkpoint as ckpt
 
     assert ckpt.latest_epoch(exp, "light", 0) == 0
+
+    # held-out light evaluation loads the checkpoint just trained (the
+    # cross-stage hand-off incl. the eval-offset/train-offset split)
+    out = test_synthetic.main(
+        _args(dataset, ["--stage", "light", "--lightExperiment", exp,
+                        "--batchSize", "1", "--maxSteps", "1"])
+    )
+    for k in ("reconst", "render"):
+        assert np.isfinite(out[k]), k
 
 
 def test_output_and_cascade1_roundtrip(dataset, tmp_path):
