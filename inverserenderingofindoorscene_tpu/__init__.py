@@ -22,3 +22,16 @@ Design stance (not a port):
 __version__ = "0.1.0"
 
 from inverserenderingofindoorscene_tpu import core  # noqa: F401
+
+
+def __getattr__(name):
+    """Lazy subpackage access: `irois.pipeline`, `irois.ops`, ... import on
+    first use (keeps `import inverserenderingofindoorscene_tpu` light)."""
+    import importlib
+
+    if name in (
+        "models", "ops", "losses", "pipeline", "train", "data",
+        "parallel", "eval", "utils", "cli",
+    ):
+        return importlib.import_module(f"{__name__}.{name}")
+    raise AttributeError(name)

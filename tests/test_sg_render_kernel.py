@@ -83,3 +83,40 @@ def test_zero_weight_gives_zero_output():
                      interpret=True)
     np.testing.assert_allclose(np.asarray(d), 0.0, atol=1e-7)
     np.testing.assert_allclose(np.asarray(s), 0.0, atol=1e-7)
+
+
+@pytest.mark.parametrize("k", [1, 4, 24])
+def test_forward_other_lobe_counts(k):
+    """The kernel unrolls over sg_num generically — not just SG12."""
+    args = make_inputs(k=k)
+    d0, s0 = jnp_ref(*args)
+    d1, s1 = render_sg(*args, interpret=True)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d0), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s0), atol=1e-3)
+
+
+def test_envmap_kernel_matches_jnp():
+    from inverserenderingofindoorscene_tpu.ops.sg_render import sg_envmap
+
+    albedo, normal, rough, ax, lamb, wgt = make_inputs(h=10, w=13)
+    e0 = sg.sg_to_envmap(ax, lamb, wgt)
+    e1 = sg_envmap(ax, lamb, wgt, interpret=True)
+    np.testing.assert_allclose(np.asarray(e1), np.asarray(e0), atol=2e-5)
+
+    def loss(f):
+        def g(a, l, w):
+            return jnp.sum(f(a, l, w) ** 2)
+
+        return g
+
+    g0 = jax.grad(loss(sg.sg_to_envmap), argnums=(0, 1, 2))(ax, lamb, wgt)
+    g1 = jax.grad(
+        loss(lambda a, l, w: sg_envmap(a, l, w, interpret=True)),
+        argnums=(0, 1, 2),
+    )(ax, lamb, wgt)
+    for nm, a, b in zip(["axis", "lamb", "weight"], g0, g1):
+        scale = max(float(jnp.abs(a).max()), 1.0)
+        np.testing.assert_allclose(
+            np.asarray(b) / scale, np.asarray(a) / scale, atol=2e-3,
+            err_msg=nm,
+        )
