@@ -84,7 +84,12 @@ def sg_render_roofline(n_pixels: int, sg_num: int = 12, dirs: int = 128,
 
 def measure(fn, args, iters: int = 30) -> float:
     """Amortized per-call seconds with a hard host-transfer fence
-    (block_until_ready is unreliable on tunnel backends — BASELINE.md)."""
+    (block_until_ready is unreliable on tunnel backends — BASELINE.md).
+
+    CAVEAT: the fence transfers the FIRST output leaf to host once; over a
+    slow tunnel that transfer is amortized into the result (~130 MB/s ⇒ a
+    40 MB output biases by ~300ms/iters). For unbiased numbers make ``fn``
+    return a SCALAR (e.g. a sum of its outputs)."""
     out = fn(*args)
     np.asarray(jax.tree_util.tree_leaves(out)[0])
     t0 = time.perf_counter()
