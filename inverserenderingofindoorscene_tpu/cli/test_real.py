@@ -424,6 +424,19 @@ def main(argv=None):
                 (light_out["diffuse"] + light_out["specular"])[0]
             )
             write_image(rendered, out(f"{name}_rendered{lvl}.png"), gamma=True)
+            # SG -> diffuse shading visualization (testReal.py:656-660 via
+            # utils.predToShading)
+            from inverserenderingofindoorscene_tpu.utils.io import (
+                pred_to_shading,
+            )
+
+            shading = pred_to_shading(
+                np.asarray(light_out["sg_flat"][0]), sg_num=opt.SGNum
+            )
+            write_image(
+                np.clip(shading / max(shading.max(), 1e-10), 0, 1),
+                out(f"{name}_shading{lvl}.png"), gamma=True,
+            )
             np.save(
                 out(f"{name}_cLight{lvl}.npy"),
                 np.array([light_out["c_albedo"], light_out["c_light"]]),
