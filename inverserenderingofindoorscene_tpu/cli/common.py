@@ -79,9 +79,22 @@ def snapshot_source(exp_dir: str):
     )
 
 
+def enable_compile_cache(path: str = "~/.cache/irois_xla_cache"):
+    """Persistent XLA compilation cache: the full-resolution graphs take
+    minutes to compile, so every driver caches them across runs."""
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir", osp.expanduser(path)
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception as e:  # pragma: no cover - older jax
+        print(f"compilation cache unavailable: {e}")
+
+
 def pin_seeds(seed: int):
     random.seed(seed)
     np.random.seed(seed)
+    enable_compile_cache()
     return jax.random.PRNGKey(seed)
 
 

@@ -306,6 +306,11 @@ def refine_bs(im, preds, bs_params=None):
 
 
 def main(argv=None):
+    from inverserenderingofindoorscene_tpu.cli.common import (
+        enable_compile_cache,
+    )
+
+    enable_compile_cache()
     opt = parse_args(argv)
     os.makedirs(opt.output, exist_ok=True)
     stacks = load_stack(opt)
