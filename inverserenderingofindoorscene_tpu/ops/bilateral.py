@@ -6,14 +6,20 @@ backward (/root/reference/BilateralLayer.py:20-124, BilateralGrid.py:43-207).
 Here the whole pipeline is jit-able JAX on TPU with STATIC shapes:
 
   * 5-D XYLUV grid coordinates (BilateralGrid.py:46-59) — identical
-    hashing semantics but no hash: vertices are identified by a
-    lexicographic 5-key sort (``jax.lax.sort`` with num_keys=5) +
-    run-length unique, with a static vertex capacity ``v_max``;
+    hashing semantics but no hash: the five small coordinates are packed
+    into TWO int32 sort keys (field widths derived from the static
+    image size and sigmas), and vertices are identified by a 2-key
+    lexicographic sort (``jax.lax.sort``) + run-length unique, with a
+    static vertex capacity ``v_max``.  Packing preserves per-field
+    lexicographic order, so vertex ordering is identical to a 5-key sort
+    while the comparator is 2.5x narrower;
   * the [1 0 1] per-dim blur adjacency (BilateralGrid.py:73-84) becomes 10
-    neighbor-index arrays built with a sort-merge join (vertices + shifted
-    query coords sorted together; a query row adjacent to an equal real
-    row IS the neighbor link) — no sparse matrices, blur = 2*dim*y +
-    sum of gathers;
+    neighbor-index arrays built with ONE batched sort-merge join: all ten
+    (dim, +-1) query sets (a +-1 shift of packed keys is one integer add)
+    are sorted TOGETHER with the real vertex rows, and each query row
+    matches iff the first row of its equal-key run is a real vertex
+    (run leaders found with a cummax over run-start indices) — no sparse
+    matrices, blur = 2*dim*y + sum of gathers;
   * splat/slice = segment-sum / gather through the pixel->vertex map;
   * bistochastization (BilateralGrid.py:109-120) and Jacobi-preconditioned
     CG (BilateralGrid.py:128-150) run as ``lax.fori_loop``s with fixed
@@ -64,30 +70,56 @@ class BilateralGrid(NamedTuple):
         return self.valid.shape[0]
 
 
-def _coords_from_image(image_rgb, sigma_spatial, sigma_luma, sigma_chroma):
-    """Pixel -> 5-D XYLUV integer grid coords (BilateralGrid.py:46-59).
+def _pack_widths(h, w, sigma_spatial, sigma_luma, sigma_chroma):
+    """Static per-field bit widths for the packed 2-key coordinates.
+
+    Each field stores coord+1 (bias keeps -1-shifted queries nonnegative)
+    and needs one unit of headroom for the +1 shift, hence max+3 values.
+    key1 = (cx | cy), key2 = (cl | cu | cv); both must fit 31 bits with
+    the sentinel range above them.
+    """
+
+    def bits(maxv):
+        return max(int(np.ceil(np.log2(maxv + 3))), 1)
+
+    bx = bits((w - 1) / sigma_spatial)
+    by = bits((h - 1) / sigma_spatial)
+    blm = bits(256.0 / sigma_luma)
+    bu = bits(256.0 / sigma_chroma)
+    bv = bits(256.0 / sigma_chroma)
+    assert bx + by <= 30, (bx, by)
+    assert blm + bu + bv <= 30, (blm, bu, bv)
+    return bx, by, blm, bu, bv
+
+
+def _packed_coords(image_rgb, sigma_spatial, sigma_luma, sigma_chroma):
+    """Pixel -> packed (key1, key2) int32 grid coords (BilateralGrid.py:46-59
+    semantics: floor-divided XYLUV), flattened [N] each.
 
     image_rgb: [H, W, 3] in the 0..255 range (callers multiply by 255 like
-    BilateralLayer.py:52). Returns [N, 5] int32.
+    BilateralLayer.py:52).
     """
     h, w = image_rgb.shape[:2]
+    _, by, _, bu, bv = _pack_widths(h, w, sigma_spatial, sigma_luma,
+                                    sigma_chroma)
     yuv = image_rgb @ jnp.asarray(RGB_TO_YUV.T, image_rgb.dtype) + jnp.asarray(
         YUV_OFFSET, image_rgb.dtype
     )
+    yuv = jnp.clip(yuv, 0.0, 256.0)  # keep packed fields in range
     iy, ix = jnp.meshgrid(jnp.arange(h), jnp.arange(w), indexing="ij")
     cx = (ix / sigma_spatial).astype(jnp.int32)
     cy = (iy / sigma_spatial).astype(jnp.int32)
     cl = (yuv[..., 0] / sigma_luma).astype(jnp.int32)
     cu = (yuv[..., 1] / sigma_chroma).astype(jnp.int32)
     cv = (yuv[..., 2] / sigma_chroma).astype(jnp.int32)
-    return jnp.stack(
-        [cx.reshape(-1), cy.reshape(-1), cl.reshape(-1), cu.reshape(-1),
-         cv.reshape(-1)],
-        axis=1,
-    )
+    k1 = ((cx + 1) << by) | (cy + 1)
+    k2 = ((cl + 1) << (bu + bv)) | ((cu + 1) << bv) | (cv + 1)
+    return k1.reshape(-1), k2.reshape(-1)
 
 
-_SENTINEL = jnp.int32(2**30)
+# Sentinel keys above every packable value (fields use <=30 bits).
+_SENT_REAL = jnp.int32(2**30 + 2)  # invalid real vertex rows
+_SENT_QUERY = jnp.int32(2**30 + 1)  # hidden query rows (!= _SENT_REAL)
 
 
 def build_grid(
@@ -98,19 +130,19 @@ def build_grid(
     v_max: int,
 ) -> BilateralGrid:
     """Build the grid for one [H, W, 3] image (values scaled to 0..255)."""
-    coords = _coords_from_image(
+    h, w = image_rgb.shape[:2]
+    _, by, _, bu, bv = _pack_widths(h, w, sigma_spatial, sigma_luma,
+                                    sigma_chroma)
+    k1, k2 = _packed_coords(
         image_rgb, sigma_spatial, sigma_luma, sigma_chroma
     )
-    n = coords.shape[0]
+    n = k1.shape[0]
 
-    cols = [coords[:, d] for d in range(DIM)]
-    *sorted_cols, pix_idx = jax.lax.sort(
-        cols + [jnp.arange(n, dtype=jnp.int32)], num_keys=DIM
+    s1, s2, pix_idx = jax.lax.sort(
+        [k1, k2, jnp.arange(n, dtype=jnp.int32)], num_keys=2
     )
-    sc = jnp.stack(sorted_cols, axis=1)  # [N, 5] sorted
-
-    diff = jnp.any(sc != jnp.roll(sc, 1, axis=0), axis=1)
-    is_new = diff.at[0].set(True)
+    is_new = (s1 != jnp.roll(s1, 1)) | (s2 != jnp.roll(s2, 1))
+    is_new = is_new.at[0].set(True)
     vid_sorted = jnp.cumsum(is_new.astype(jnp.int32)) - 1
     vid_sorted = jnp.minimum(vid_sorted, v_max - 1)
     nvert = vid_sorted[-1] + 1
@@ -118,50 +150,92 @@ def build_grid(
     # pixel -> vertex (scatter back to original pixel order)
     vert_of_pixel = jnp.zeros((n,), jnp.int32).at[pix_idx].set(vid_sorted)
 
-    # vertex -> coords (duplicates write identical values)
-    vcoords = jnp.full((v_max, DIM), _SENTINEL, jnp.int32)
-    vcoords = vcoords.at[vid_sorted].set(sc)
+    # vertex -> packed keys (duplicates write identical values)
+    vk1 = jnp.full((v_max,), _SENT_REAL, jnp.int32).at[vid_sorted].set(s1)
+    vk2 = jnp.zeros((v_max,), jnp.int32).at[vid_sorted].set(s2)
     vidx = jnp.arange(v_max, dtype=jnp.int32)
     valid = (vidx < nvert).astype(jnp.float32)
+    invalid = valid < 0.5
 
-    # neighbor links by sort-merge join, one per (dim, offset)
-    nbrs = []
-    tag = jnp.concatenate(
-        [jnp.zeros((v_max,), jnp.int32), jnp.ones((v_max,), jnp.int32)]
+    # ---- the +-v neighbors are FREE: vertex ids are assigned in packed-key
+    # sort order and no key lies strictly between k and k+1, so the (v,+1)
+    # neighbor of vertex i, when it exists, is exactly vertex i+1.  blur()
+    # turns these two directions into masked rolls instead of gathers.
+    nk1 = jnp.roll(vk1, -1)
+    nk2 = jnp.roll(vk2, -1)
+    has_vp = (
+        (nk1 == vk1) & (nk2 == vk2 + 1)
+        & (vidx + 1 < nvert)
     )
-    payload = jnp.concatenate([vidx, vidx])
-    for d in range(DIM):
-        for off in (-1, 1):
-            q = vcoords.at[:, d].add(off)
-            # hide invalid query rows so they can't match
-            q = jnp.where(valid[:, None] > 0, q, _SENTINEL - 1)
-            allc = jnp.concatenate([vcoords, q], axis=0)
-            keys = [allc[:, i] for i in range(DIM)] + [tag]
-            sorted_ops = jax.lax.sort(
-                keys + [payload], num_keys=DIM + 1
-            )
-            s_cols = sorted_ops[:DIM]
-            s_tag = sorted_ops[DIM]
-            s_payload = sorted_ops[DIM + 1]
-            s_coords = jnp.stack(s_cols, axis=1)
-            prev_coords = jnp.roll(s_coords, 1, axis=0)
-            prev_tag = jnp.roll(s_tag, 1)
-            prev_payload = jnp.roll(s_payload, 1)
-            is_query = s_tag == 1
-            match = (
-                is_query
-                & (prev_tag == 0)
-                & jnp.all(s_coords == prev_coords, axis=1)
-            )
-            match = match.at[0].set(False)
-            nbr_d = jnp.full((v_max,), -1, jnp.int32)
-            nbr_d = nbr_d.at[jnp.where(is_query, s_payload, v_max)].set(
-                jnp.where(match, prev_payload, -1), mode="drop"
-            )
-            nbrs.append(nbr_d)
+    nbr_vp = jnp.where(has_vp, vidx + 1, -1)
+    pk2 = jnp.roll(vk2, 1)
+    has_vm = (
+        (jnp.roll(vk1, 1) == vk1) & (pk2 == vk2 - 1) & (vidx > 0) & ~invalid
+    )
+    nbr_vm = jnp.where(has_vm, vidx - 1, -1)
+
+    # ---- the remaining eight (dim, +-1) neighbor joins in ONE sort --------
+    # A +-1 shift of dim d is an integer add on the packed key; the field
+    # bias/headroom guarantees no carry into adjacent fields.  The
+    # real/query tag rides the low bit of key2 (real first within a run)
+    # and (join id, vertex id) pack into one payload word, so the sort has
+    # 3 operands instead of 6.
+    deltas = [  # (key index, add) in nbr order: d major, off=-1 then +1
+        (0, -(1 << by)), (0, (1 << by)),  # x
+        (0, -1), (0, 1),  # y
+        (1, -(1 << (bu + bv))), (1, (1 << (bu + bv))),  # luma
+        (1, -(1 << bv)), (1, (1 << bv)),  # u
+    ]
+    n_join = len(deltas)
+    qk1 = jnp.concatenate(
+        [vk1 + d1 if ki == 0 else vk1 for ki, d1 in deltas]
+    )
+    qk2 = jnp.concatenate(
+        [vk2 + d2 if ki == 1 else vk2 for ki, d2 in deltas]
+    )
+    # hide query rows of invalid vertices so they can't match anything
+    inv_t = jnp.tile(invalid, n_join)
+    qk1 = jnp.where(inv_t, _SENT_QUERY, qk1)
+    qk2 = jnp.where(inv_t, 0, qk2)
+
+    all1 = jnp.concatenate([vk1, qk1])
+    # key2 carries the tag in its low bit (k2 uses <=30 bits, so k2<<1|tag
+    # fits int32); payload packs (join id, vertex id).
+    all2 = jnp.concatenate([vk2 << 1, (qk2 << 1) | 1])
+    payload = jnp.concatenate(
+        [vidx,
+         jnp.repeat(jnp.arange(n_join, dtype=jnp.int32), v_max) * v_max
+         + jnp.tile(vidx, n_join)]
+    )
+    s1a, s2a, spay = jax.lax.sort([all1, all2, payload], num_keys=2)
+
+    # Run leader = first row of each equal-key run; a real vertex (tag 0)
+    # sorts first within its run, so query rows match iff their leader is
+    # real.  (Distinct joins can produce equal query keys, so the match is
+    # against the run LEADER, not just the previous row.)
+    m = s1a.shape[0]
+    stag = s2a & 1
+    sk2 = s2a >> 1
+    ridx = jnp.arange(m, dtype=jnp.int32)
+    run_new = (s1a != jnp.roll(s1a, 1)) | (sk2 != jnp.roll(sk2, 1))
+    run_new = run_new.at[0].set(True)
+    run_start = jax.lax.cummax(jnp.where(run_new, ridx, 0))
+    leader_tag = stag[run_start]
+    leader_pay = spay[run_start]
+
+    is_q = stag == 1
+    match = is_q & (leader_tag == 0)
+    slot = jnp.where(is_q, spay, m)  # == j*v_max + v; non-query rows dropped
+    nbr_flat = jnp.full((n_join * v_max,), -1, jnp.int32)
+    nbr_flat = nbr_flat.at[slot].set(
+        jnp.where(match, leader_pay, -1), mode="drop"
+    )
+    nbr = jnp.concatenate(
+        [nbr_flat.reshape(n_join, v_max), nbr_vm[None], nbr_vp[None]], axis=0
+    )
     return BilateralGrid(
         vert_of_pixel=vert_of_pixel,
-        nbr=jnp.stack(nbrs, axis=0),
+        nbr=nbr,
         valid=valid,
     )
 
@@ -179,16 +253,27 @@ def slice_(grid: BilateralGrid, y: jnp.ndarray) -> jnp.ndarray:
 
 
 def blur(grid: BilateralGrid, y: jnp.ndarray) -> jnp.ndarray:
-    """[1 2 1]-per-dim blur: 2*DIM*y + sum of neighbor gathers
+    """[1 2 1]-per-dim blur: 2*DIM*y + sum of neighbor contributions
     (BilateralGrid.py:96-103).
 
-    (Measured on v5e: ten separate [V] gathers beat one fused [10*V]
-    gather by ~7%, so the simple loop stays.)"""
+    XLA TPU gathers run on the scalar core (~6 cycles/row measured on
+    v5e) and dominate the whole solver, so the two +-v directions use the
+    build-time guarantee that their neighbors are ADJACENT rows of the
+    key-sorted vertex array: masked rolls on the VPU instead of gathers.
+    The other eight directions have no such structure and stay gathers."""
     out = 2.0 * DIM * y
-    for i in range(2 * DIM):
+    for i in range(2 * DIM - 2):
         idx = grid.nbr[i]
         contrib = jnp.where((idx >= 0)[:, None], y[jnp.maximum(idx, 0)], 0.0)
         out = out + contrib
+    # v-1 / v+1: adjacent-row links (nbr[8][i] in {-1, i-1}, nbr[9][i] in
+    # {-1, i+1} by construction in build_grid)
+    out = out + jnp.where(
+        (grid.nbr[2 * DIM - 2] >= 0)[:, None], jnp.roll(y, 1, axis=0), 0.0
+    )
+    out = out + jnp.where(
+        (grid.nbr[2 * DIM - 1] >= 0)[:, None], jnp.roll(y, -1, axis=0), 0.0
+    )
     return out
 
 
@@ -240,12 +325,11 @@ def _pcg(a_fn, b, y0, a_diag, maxiter, tol):
     return y
 
 
-def _solve_system(grid, n, m, target, w, lam, a_diag_min, cg_maxiter, cg_tol,
-                  y0):
-    """Solve (lam*A_smooth + diag(splat(w))) y = splat(target*w)... generic
-    RHS/initialization shared by forward (BilateralGrid.py:128-150) and the
-    gradient solve (152-184)."""
-    w_splat = splat(grid, w)[:, 0]  # [V]
+def _solve_system(grid, n, m, w_splat, b, lam, a_diag_min, cg_maxiter,
+                  cg_tol, y0):
+    """Solve (lam*A_smooth + diag(w_splat)) y = b — the shared PCG core of
+    the forward (BilateralGrid.py:128-150) and gradient (152-184) solves.
+    ``w_splat`` [V] and the RHS ``b`` [V, C] are precomputed splats."""
 
     def a_fn(y):
         smooth = m[:, None] * y - n[:, None] * blur(grid, n[:, None] * y)
@@ -253,7 +337,6 @@ def _solve_system(grid, n, m, target, w, lam, a_diag_min, cg_maxiter, cg_tol,
 
     a_diag = lam * (m - 2.0 * DIM * n * n) + w_splat
     a_diag = jnp.maximum(a_diag, a_diag_min)
-    b = splat(grid, target * w)
     return _pcg(a_fn, b, y0, a_diag, cg_maxiter, cg_tol)
 
 
@@ -278,39 +361,42 @@ MODE_PARAMS = {
 }
 
 
-def _solve_image(grid, target, conf, params: BSParams):
+def _solve_image(grid, target, conf, params: BSParams, nm=None):
     """Forward solve for one image (BilateralGrid.py:122-150).
 
-    target [N, C], conf [N, 1]. Returns (xhat [N, C], yhat [V, C])."""
-    n, m = bistochastize(grid)
-    w_splat = splat(grid, conf)
-    y0 = splat(grid, target * conf) / jnp.maximum(w_splat, 1e-10)
+    target [N, C], conf [N, 1]. Returns (xhat [N, C], yhat [V, C]).
+    ``nm``: optionally the precomputed ``bistochastize(grid)`` pair."""
+    n, m = bistochastize(grid) if nm is None else nm
+    # one fused splat for conf AND target*conf (the scatter runs on the
+    # scalar core; one pass over the pixels instead of two)
+    s = splat(grid, jnp.concatenate([conf, target * conf], axis=1))
+    w_splat, b = s[:, 0], s[:, 1:]
+    y0 = b / jnp.maximum(w_splat[:, None], 1e-10)
     yhat = _solve_system(
-        grid, n, m, target, conf, params.lam, params.a_diag_min,
+        grid, n, m, w_splat, b, params.lam, params.a_diag_min,
         params.cg_maxiter, params.cg_tol, y0,
     )
     return slice_(grid, yhat), yhat
 
 
-def _solve_image_grad(grid, g_out, conf, target, yhat, params: BSParams):
-    """Gradient solve for one image (BilateralGrid.py:152-184)."""
-    n, m = bistochastize(grid)
+def _solve_image_grad(grid, nm, g_out, conf, target, yhat, params: BSParams):
+    """Gradient solve for one image (BilateralGrid.py:152-184).
+
+    ``nm``: the (n, m) bistochastization pair cached by the forward —
+    grid and nm are custom-VJP residuals, NOT rebuilt here (the grid
+    build's sorts are the most expensive part of the whole op)."""
+    n, m = nm
+    # one fused splat: conf (matrix diagonal), ones (y0 denominator), and
+    # the incoming gradient (the reference's plain-splat RHS,
+    # BilateralGrid.py:168-171)
     ones = jnp.ones_like(conf)
-    y0 = splat(grid, g_out * ones) / jnp.maximum(splat(grid, ones), 1e-10)
-    # NB the reference uses b = splat(grad) (no *w) — pass target=g, w=conf
-    # for the MATRIX but the plain-splat RHS: emulate by solving with
-    # modified rhs: reuse _solve_system pieces manually.
-    w_splat = splat(grid, conf)[:, 0]
-
-    def a_fn(y):
-        smooth = m[:, None] * y - n[:, None] * blur(grid, n[:, None] * y)
-        return params.lam * smooth + w_splat[:, None] * y
-
-    a_diag = jnp.maximum(
-        params.lam * (m - 2.0 * DIM * n * n) + w_splat, params.a_diag_min
+    s = splat(grid, jnp.concatenate([conf, ones, g_out], axis=1))
+    w_splat, cnt, b = s[:, 0], s[:, 1], s[:, 2:]
+    y0 = b / jnp.maximum(cnt[:, None], 1e-10)
+    yg = _solve_system(
+        grid, n, m, w_splat, b, params.lam, params.a_diag_min,
+        params.cg_maxiter, params.cg_tol, y0,
     )
-    b = splat(grid, g_out)
-    yg = _pcg(a_fn, b, y0, a_diag, params.cg_maxiter, params.cg_tol)
 
     sliced = slice_(grid, yg)
     grad_target = sliced * conf
@@ -329,8 +415,7 @@ def bilateral_solve(feature, target, conf, params: BSParams, v_max: int):
     conf only (the reference's BilateralFunction returns None for image).
     Returns refined [B,H,W,C].
     """
-    out, _ = _bs_fwd_impl(feature, target, conf, params, v_max)
-    return out
+    return _bs_fwd_impl(feature, target, conf, params, v_max)[0]
 
 
 def _grid_of(feature, params, v_max):
@@ -345,28 +430,31 @@ def _bs_fwd_impl(feature, target, conf, params, v_max):
 
     def one(feat_i, tgt_i, conf_i):
         grid = _grid_of(feat_i, params, v_max)
+        nm = bistochastize(grid)
         xhat, yhat = _solve_image(
-            grid, tgt_i.reshape(-1, c), conf_i.reshape(-1, 1), params
+            grid, tgt_i.reshape(-1, c), conf_i.reshape(-1, 1), params, nm=nm
         )
-        return xhat.reshape(h, w, c), yhat
+        return xhat.reshape(h, w, c), yhat, grid, nm
 
-    xhat, yhat = jax.vmap(one)(feature, target, conf)
-    return xhat, yhat
+    return jax.vmap(one)(feature, target, conf)
 
 
 def _bs_fwd(feature, target, conf, params, v_max):
-    xhat, yhat = _bs_fwd_impl(feature, target, conf, params, v_max)
-    return xhat, (feature, target, conf, yhat)
+    xhat, yhat, grid, nm = _bs_fwd_impl(feature, target, conf, params, v_max)
+    # The grid (int index tables) and its bistochastization are residuals:
+    # the backward's only heavy work is then its own PCG solve — round 1
+    # rebuilt both from scratch (11 sorts + 10 blurs) every backward.
+    return xhat, (feature, target, conf, yhat, grid, nm)
 
 
 def _bs_bwd(params, v_max, res, g):
-    feature, target, conf, yhat = res
+    feature, target, conf, yhat, grid, nm = res
     b, h, w, c = target.shape
 
-    def one(feat_i, g_i, conf_i, tgt_i, yhat_i):
-        grid = _grid_of(feat_i, params, v_max)
+    def one(grid_i, nm_i, g_i, conf_i, tgt_i, yhat_i):
         gt, gc = _solve_image_grad(
-            grid,
+            grid_i,
+            nm_i,
             g_i.reshape(-1, c),
             conf_i.reshape(-1, 1),
             tgt_i.reshape(-1, c),
@@ -375,7 +463,7 @@ def _bs_bwd(params, v_max, res, g):
         )
         return gt.reshape(h, w, c), gc.reshape(h, w, 1)
 
-    gt, gc = jax.vmap(one)(feature, g, conf, target, yhat)
+    gt, gc = jax.vmap(one)(grid, nm, g, conf, target, yhat)
     return (jnp.zeros_like(feature), gt, gc)
 
 
