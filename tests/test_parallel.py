@@ -67,6 +67,114 @@ def test_brdf_step_matches_across_mesh():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_bilateral_step_matches_across_mesh():
+    """The solver's sort/segment_sum/gather grid build is the most
+    sharding-fragile pattern in the system; per-image vmap must split
+    cleanly over the batch axis."""
+    from inverserenderingofindoorscene_tpu.pipeline.bilateral import (
+        BilateralNets,
+    )
+    from inverserenderingofindoorscene_tpu.train.steps import (
+        make_bilateral_train_step,
+    )
+
+    im_hw = (32, 32)
+    brdf_nets = BRDFNets(cascade_level=0)
+    bs_nets = BilateralNets()
+    bp = brdf_nets.init(jax.random.PRNGKey(0), im_hw)
+    sp = bs_nets.init(jax.random.PRNGKey(1), im_hw)
+    batch = synthetic_batch(batch=8, im_hw=im_hw, env_rc=(16, 16), seed=2)
+    step = make_bilateral_train_step(brdf_nets, bs_nets, bp)
+
+    state1 = create_train_state(sp, reference_adam(1e-4))
+    state1, m1 = jax.jit(step)(state1, batch)
+
+    mesh = make_mesh(jax.devices()[:8], tile=2)
+    with jax.set_mesh(mesh):
+        state8 = create_train_state(sp, reference_adam(1e-4))
+        state8 = jax.device_put(state8, replicated(mesh))
+        sbatch = shard_batch(batch, mesh)
+        state8, m8 = jax.jit(step)(state8, sbatch)
+
+    for k in m1:
+        np.testing.assert_allclose(
+            float(m1[k]), float(m8[k]), rtol=5e-4, err_msg=k
+        )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_nyu_finetune_step_matches_across_mesh():
+    from inverserenderingofindoorscene_tpu.train.steps import (
+        make_nyu_train_step,
+    )
+
+    rng = np.random.RandomState(5)
+    b, (h, w) = 8, IM_HW
+    nets = BRDFNets(cascade_level=0)
+    params = nets.init(jax.random.PRNGKey(5), IM_HW)
+    normal = rng.uniform(-1, 1, (b, h, w, 3))
+    normal[..., 2] = np.abs(normal[..., 2]) + 0.3
+    normal /= np.linalg.norm(normal, axis=-1, keepdims=True)
+    batch = {
+        "im": jnp.asarray(rng.rand(b, h, w, 3), jnp.float32),
+        "normal": jnp.asarray(normal, jnp.float32),
+        "depth": jnp.asarray(rng.uniform(0.1, 5, (b, h, w, 1)), jnp.float32),
+        "seg_normal": jnp.asarray(rng.rand(b, h, w, 1) > 0.2, jnp.float32),
+        "seg_depth": jnp.asarray(rng.rand(b, h, w, 1) > 0.2, jnp.float32),
+    }
+    step = make_nyu_train_step(nets)
+
+    state1 = create_train_state(params, reference_adam(1e-4))
+    state1, m1 = jax.jit(step)(state1, batch)
+
+    mesh = make_mesh(jax.devices()[:8], tile=2)
+    with jax.set_mesh(mesh):
+        state8 = create_train_state(params, reference_adam(1e-4))
+        state8 = jax.device_put(state8, replicated(mesh))
+        sbatch = shard_batch(batch, mesh)
+        state8, m8 = jax.jit(step)(state8, sbatch)
+
+    for k in m1:
+        np.testing.assert_allclose(
+            float(m1[k]), float(m8[k]), rtol=2e-4, err_msg=k
+        )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_cascade1_light_step_matches_across_mesh():
+    """Cascade 1: env_pre is tile-sharded (mesh._TILE_DIMS) and the BRDF
+    encoder runs the 17-channel cascade input path."""
+    brdf_nets = BRDFNets(cascade_level=1)
+    light_nets = LightNets(
+        cascade_level=1, env_rows=ENV_RC[0], env_cols=ENV_RC[1]
+    )
+    bp = brdf_nets.init(jax.random.PRNGKey(7), IM_HW)
+    lp = light_nets.init(jax.random.PRNGKey(8))
+    batch = synthetic_batch(
+        batch=4, im_hw=IM_HW, env_rc=ENV_RC, cascade_level=1, seed=7
+    )
+    step = make_light_train_step(brdf_nets, light_nets, bp)
+
+    state1 = create_train_state(lp, reference_adam(1e-4))
+    state1, m1 = jax.jit(step)(state1, batch)
+
+    mesh = make_mesh(jax.devices()[:8], tile=2)
+    with jax.set_mesh(mesh):
+        state8 = create_train_state(lp, reference_adam(1e-4))
+        state8 = jax.device_put(state8, replicated(mesh))
+        sbatch = shard_batch(batch, mesh)
+        # env_pre really is split over the tile axis
+        spec = sbatch["env_pre"].sharding.spec
+        assert "tile" in str(spec), spec
+        state8, m8 = jax.jit(step)(state8, sbatch)
+
+    for k in ("reconst", "render", "total"):
+        np.testing.assert_allclose(
+            float(m1[k]), float(m8[k]), rtol=5e-4, err_msg=k
+        )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_light_step_matches_across_mesh():
     brdf_nets = BRDFNets(cascade_level=0)
     light_nets = LightNets(
