@@ -81,8 +81,15 @@ def snapshot_source(exp_dir: str):
 
 def enable_compile_cache(path: str = "~/.cache/irois_xla_cache"):
     """Persistent XLA compilation cache: the full-resolution graphs take
-    minutes to compile, so every driver caches them across runs."""
+    minutes to compile, so every driver caches them across runs.
+
+    Skipped on the axon tunnel backend: there a cache HIT is ~5x slower
+    than a fresh compile (loading a deserialized executable recompiles
+    server-side without the compile service's fast path — measured 490 s
+    vs 7-105 s on the fused SG kernel)."""
     try:
+        if jax.default_backend() == "axon":
+            return
         jax.config.update(
             "jax_compilation_cache_dir", osp.expanduser(path)
         )
@@ -185,13 +192,19 @@ def load_frozen_cascade0(opt, rng):
 
 
 def dump_preview(exp, epoch, step, arrays: dict):
-    """Periodic PNG dumps (trainBRDF.py:334-369 cadence is the caller's)."""
-    from inverserenderingofindoorscene_tpu.utils.io import write_image
+    """Periodic PNG dumps (trainBRDF.py:334-369 cadence is the caller's).
+
+    4-D arrays are written as whole-batch grids, matching the reference's
+    ``vutils.save_image`` batch previews."""
+    from inverserenderingofindoorscene_tpu.utils.io import (
+        write_image,
+        write_image_grid,
+    )
 
     for name, (img, gamma) in arrays.items():
         img = np.asarray(jax.device_get(img))
+        path = osp.join(exp, f"{name}_{epoch}_{step}.png")
         if img.ndim == 4:
-            img = img[0]
-        write_image(
-            img, osp.join(exp, f"{name}_{epoch}_{step}.png"), gamma=gamma
-        )
+            write_image_grid(img, path, gamma=gamma)
+        else:
+            write_image(img, path, gamma=gamma)

@@ -446,6 +446,20 @@ def main(argv=None):
                 out(f"{name}_cLight{lvl}.npy"),
                 np.array([light_out["c_albedo"], light_out["c_light"]]),
             )
+            # .mat export for the reference's downstream comparison tooling
+            # (testReal.py:646 writes scipy.io.savemat {'cLight': ...})
+            try:
+                from scipy.io import savemat
+
+                savemat(
+                    out(f"{name}_cLight{lvl}.mat"),
+                    {
+                        "cLight": np.asarray(light_out["c_light"]),
+                        "cAlbedo": np.asarray(light_out["c_albedo"]),
+                    },
+                )
+            except ImportError:
+                print("scipy unavailable; skipped .mat cLight export")
         if bs_out is not None:
             write_image(np.asarray(bs_out["albedo"][0]) * c_albedo,
                         out(f"{name}_albedoBs{lvl}.png"), gamma=True)

@@ -46,6 +46,38 @@ def write_image(img: np.ndarray, path: str, gamma: bool = False):
     Image.fromarray(img).save(path)
 
 
+def image_grid(
+    imgs: np.ndarray, nrow: int = 8, padding: int = 2, pad_value: float = 0.0
+) -> np.ndarray:
+    """[B, H, W, C] -> one [H', W', C] grid image.
+
+    The torchvision ``vutils.save_image`` layout the reference uses for its
+    whole-batch previews (trainBRDF.py:334-369): ``nrow`` images per grid
+    row, ``padding`` pixels between and around tiles."""
+    imgs = np.asarray(imgs)
+    if imgs.ndim == 3:
+        imgs = imgs[None]
+    b, h, w, c = imgs.shape
+    ncol = min(nrow, b)
+    nr = (b + ncol - 1) // ncol
+    out = np.full(
+        (nr * (h + padding) + padding, ncol * (w + padding) + padding, c),
+        pad_value,
+        imgs.dtype,
+    )
+    for i in range(b):
+        r, cc = divmod(i, ncol)
+        y = r * (h + padding) + padding
+        x = cc * (w + padding) + padding
+        out[y : y + h, x : x + w] = imgs[i]
+    return out
+
+
+def write_image_grid(imgs: np.ndarray, path: str, gamma: bool = False, **kw):
+    """Whole-batch PNG grid (the vutils.save_image call sites)."""
+    write_image(image_grid(imgs, **kw), path, gamma=gamma)
+
+
 def write_h5(arr: np.ndarray, path: str, chw_from_hwc: bool = True):
     """Write the reference's LZF 'data' dataset (utils.py:92-99).
 

@@ -126,12 +126,17 @@ def test_train_light_cli(dataset, tmp_path):
 
     # held-out light evaluation loads the checkpoint just trained (the
     # cross-stage hand-off incl. the eval-offset/train-offset split)
+    troot = str(tmp_path / "test_light")
     out = test_synthetic.main(
         _args(dataset, ["--stage", "light", "--lightExperiment", exp,
-                        "--batchSize", "1", "--maxSteps", "1"])
+                        "--batchSize", "1", "--maxSteps", "1",
+                        "--testRoot", troot])
     )
     for k in ("reconst", "render"):
         assert np.isfinite(out[k]), k
+    # envmap mosaic + rendered-image artifacts (testLight.py:293-309)
+    assert osp.isfile(osp.join(troot, "0_envmapPred.png"))
+    assert osp.isfile(osp.join(troot, "0_imRendered.png"))
 
 
 def test_output_and_cascade1_roundtrip(dataset, tmp_path):
@@ -155,12 +160,29 @@ def test_output_and_cascade1_roundtrip(dataset, tmp_path):
     assert item["albedo_pre"].shape[2] == 3
 
 
-def test_test_synthetic_cli(dataset):
+def test_test_synthetic_cli(dataset, tmp_path):
     from inverserenderingofindoorscene_tpu.cli import test_synthetic
 
-    out = test_synthetic.main(_args(dataset, ["--stage", "brdf"]))
+    troot = str(tmp_path / "test_brdf")
+    out = test_synthetic.main(
+        _args(dataset, ["--stage", "brdf", "--testRoot", troot])
+    )
     for k in ("albedo", "normal", "rough", "depth"):
         assert np.isfinite(out[k]), k
+    # the reference test-driver artifact family (testBRDF.py:128,257-316):
+    # per-iteration testingLog, per-key error .npy, pred/GT image grids
+    logs = [f for f in os.listdir(troot) if f.startswith("testingLog_")]
+    assert logs, os.listdir(troot)
+    text = open(osp.join(troot, logs[0])).read()
+    assert "albedo:" in text and "albedoAccu:" in text
+    epoch = logs[0].split("_")[1].split(".")[0]
+    for k in ("albedo", "normal", "rough", "depth"):
+        arr = np.load(osp.join(troot, f"{k}Error_{epoch}.npy"))
+        # one row per test iteration (the 3-image fixture gives one
+        # full batch at batchSize=2)
+        assert arr.ndim == 2 and np.all(np.isfinite(arr)), (k, arr)
+    for name in ("im", "albedoGt_0", "albedoPred_0", "depthPred_0"):
+        assert osp.isfile(osp.join(troot, f"0_{name}.png")), name
 
 
 def test_test_real_cli(dataset, tmp_path):
