@@ -1,0 +1,191 @@
+"""Train-step profiling at the reference operating points (VERDICT r1 #7).
+
+Times the BRDF and light train steps on the real chip, reports XLA's own
+FLOP count and the achieved MXU fraction, and attributes device time by
+op category from a jax.profiler trace.
+
+Usage: python scripts/profile_steps.py [--stage brdf|light|both]
+       [--dtype float32|bfloat16|both] [--trace]
+"""
+import argparse
+import glob
+import gzip
+import json
+import os
+import sys
+import time
+from collections import defaultdict
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def log(m):
+    print(m, flush=True)
+
+
+def fence(out):
+    np.asarray(jax.tree_util.tree_leaves(out)[0])
+
+
+def timeit(fn, *args, iters=10):
+    fence(fn(*args))
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(iters):
+        out = fn(*args)
+    fence(out)
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
+# v5e peaks (public figures): bf16 MXU 197 TFLOP/s; f32 runs through the
+# MXU at ~1/4 bf16 via passes (approx 49 TFLOP/s effective upper bound).
+MXU_PEAK = {"bfloat16": 197e12, "float32": 49e12}
+
+
+def build_step(stage, dtype):
+    from inverserenderingofindoorscene_tpu.data.synthetic import synthetic_batch
+    from inverserenderingofindoorscene_tpu.pipeline.brdf import BRDFNets
+    from inverserenderingofindoorscene_tpu.pipeline.light import LightNets
+    from inverserenderingofindoorscene_tpu.train.steps import (
+        create_train_state,
+        make_brdf_train_step,
+        make_light_train_step,
+        reference_adam,
+    )
+
+    if stage == "brdf":
+        nets = BRDFNets(cascade_level=0, compute_dtype=dtype)
+        params = nets.init(jax.random.PRNGKey(0), (240, 320))
+        batch = synthetic_batch(batch=16, im_hw=(240, 320), env_rc=(120, 160))
+        step = jax.jit(make_brdf_train_step(nets), donate_argnums=(0,))
+        state = create_train_state(params, reference_adam(1e-4))
+        return step, state, batch
+    brdf_nets = BRDFNets(cascade_level=0, compute_dtype=dtype)
+    light_nets = LightNets(cascade_level=0, compute_dtype=dtype)
+    bp = brdf_nets.init(jax.random.PRNGKey(0), (240, 320))
+    lp = light_nets.init(jax.random.PRNGKey(1))
+    batch = synthetic_batch(batch=5, im_hw=(240, 320), env_rc=(120, 160))
+    step = jax.jit(
+        make_light_train_step(brdf_nets, light_nets, bp, use_pallas=True),
+        donate_argnums=(0,),
+    )
+    state = create_train_state(lp, reference_adam(1e-4))
+    return step, state, batch
+
+
+def cost_flops(step, state, batch):
+    try:
+        c = step.lower(state, batch).compile().cost_analysis()
+        if isinstance(c, list):
+            c = c[0]
+        return float(c.get("flops", 0.0))
+    except Exception as e:  # pragma: no cover
+        log(f"cost_analysis unavailable: {e}")
+        return 0.0
+
+
+CATEGORIES = (
+    ("conv", ("conv", "cudnn")),
+    ("matmul", ("dot", "einsum")),
+    ("pallas", ("sg_", "custom-call", "tpu_custom_call")),
+    ("resize/pool", ("resize", "reduce-window", "gather", "pad", "slice")),
+    ("norm/elemwise", ("fusion",)),
+    ("copy/transpose", ("copy", "transpose", "bitcast", "reshape")),
+    ("allreduce", ("all-reduce", "psum")),
+)
+
+
+def categorize(name):
+    lname = name.lower()
+    for cat, keys in CATEGORIES:
+        if any(k in lname for k in keys):
+            return cat
+    return "other"
+
+
+def attribute_trace(logdir):
+    """Aggregate device-op durations from the newest trace.json.gz."""
+    files = sorted(
+        glob.glob(os.path.join(logdir, "**", "*.trace.json.gz"),
+                  recursive=True),
+        key=os.path.getmtime,
+    )
+    if not files:
+        log("no trace files found")
+        return
+    with gzip.open(files[-1], "rt") as f:
+        trace = json.load(f)
+    events = trace.get("traceEvents", [])
+    # device lanes only: pid names containing "TPU"/"Device"
+    dev_pids = set()
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            nm = e.get("args", {}).get("name", "")
+            if "TPU" in nm or "/device" in nm.lower():
+                dev_pids.add(e["pid"])
+    buckets = defaultdict(float)
+    tops = defaultdict(float)
+    for e in events:
+        if e.get("ph") != "X" or e.get("pid") not in dev_pids:
+            continue
+        name = e.get("name", "?")
+        # drop umbrella/module events (whole-program spans, run ids)
+        if name.isdigit() or name.startswith("jit_") or name == "?":
+            continue
+        dur = e.get("dur", 0) / 1e3  # ms
+        buckets[categorize(name)] += dur
+        tops[name] += dur
+    total = sum(buckets.values())
+    log(f"-- device time by category (total {total:.1f} ms traced) --")
+    for cat, ms in sorted(buckets.items(), key=lambda kv: -kv[1]):
+        log(f"  {cat:<16} {ms:8.2f} ms  {100*ms/max(total,1e-9):5.1f}%")
+    log("-- top ops --")
+    for name, ms in sorted(tops.items(), key=lambda kv: -kv[1])[:25]:
+        log(f"  {ms:8.2f} ms  {name[:90]}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--stage", default="both")
+    ap.add_argument("--dtype", default="both")
+    ap.add_argument("--trace", action="store_true")
+    ap.add_argument("--logdir", default="/tmp/step_trace")
+    opt = ap.parse_args()
+
+    stages = ["brdf", "light"] if opt.stage == "both" else [opt.stage]
+    dtypes = (
+        ["float32", "bfloat16"] if opt.dtype == "both" else [opt.dtype]
+    )
+    for stage in stages:
+        for dtype in dtypes:
+            step, state, batch = build_step(stage, dtype)
+            flops = cost_flops(step, state, batch)
+            # donated state: rebuild per timing call chain
+            state2, _ = step(state, batch)
+            fence(state2)
+            t0 = time.perf_counter()
+            iters = 10
+            cur = state2
+            for _ in range(iters):
+                cur, metrics = step(cur, batch)
+            fence(metrics)
+            ms = (time.perf_counter() - t0) / iters * 1e3
+            frac = flops / (ms / 1e3) / MXU_PEAK[dtype] if flops else 0.0
+            log(f"{stage:<6} {dtype:<9} {ms:7.1f} ms/step   "
+                f"XLA flops {flops/1e9:6.1f} G   MXU frac {frac*100:5.1f}%")
+            if opt.trace:
+                from inverserenderingofindoorscene_tpu.utils.profiling import (
+                    trace,
+                )
+
+                with trace(opt.logdir):
+                    cur, metrics = step(cur, batch)
+                    fence(metrics)
+                attribute_trace(opt.logdir)
+
+
+if __name__ == "__main__":
+    main()
