@@ -131,13 +131,13 @@ def emit():
     print(json.dumps(RESULT), flush=True)
 
 
-def gate_grads(ref, got, tol, label=""):
-    """Max relative grad error across the 6 inputs (normalized per-tensor,
+def gate_grads(ref, got, tol, label="", names=None):
+    """Max relative grad error across the inputs (normalized per-tensor,
     against the max-abs of the reference tensor)."""
     worst, ok = 0.0, True
-    for name, a, b in zip(
-        ["albedo", "normal", "rough", "axis", "lamb", "weight"], ref, got
-    ):
+    if names is None:
+        names = ["albedo", "normal", "rough", "axis", "lamb", "weight"]
+    for name, a, b in zip(names, ref, got):
         a = np.asarray(a, np.float64)
         b = np.asarray(b, np.float64)
         scale = max(float(np.abs(a).max()), 1.0)
@@ -258,6 +258,46 @@ def main():
         log(f"gate shape2 {'pass' if ok2 else 'FAIL'} "
             f"(fwd {fwd2:.2e}, grad {worst2:.2e} vs f64)")
         if not ok2:
+            RESULT["metric"] = "sg_shading_fwd_bwd_throughput_GRAD_MISMATCH"
+        emit()
+
+    if remaining() > 45:
+        # standing real-TPU check for the OTHER Pallas kernel: the fused
+        # SG->envmap decode (reconstruction-loss path, models.py:371-389)
+        # vs its f64 CPU anchor, fwd + grads, small shape
+        from inverserenderingofindoorscene_tpu.ops.sg_render import sg_envmap
+
+        _, _, _, ax_s, lm_s, wg_s = make_inputs(b=1, h=24, w=32, seed=5)
+
+        def env_loss(fn, x, lm, w):
+            return jnp.sum(fn(x, lm, w) * 0.7)
+
+        ge = jax.device_get(
+            jax.jit(jax.grad(lambda *a: env_loss(sg_envmap, *a),
+                             argnums=(0, 1, 2)))(ax_s, lm_s, wg_s)
+        )
+        fe = jax.device_get(jax.jit(sg_envmap)(ax_s, lm_s, wg_s))
+        cpu = jax.devices("cpu")[0]
+        a64 = [jnp.asarray(np.asarray(a), jnp.float64)
+               for a in (ax_s, lm_s, wg_s)]
+        with jax.default_device(cpu):
+            g64 = jax.device_get(
+                jax.grad(lambda *a: env_loss(sg.sg_to_envmap, *a),
+                         argnums=(0, 1, 2))(*a64)
+            )
+            f64 = jax.device_get(sg.sg_to_envmap(*a64))
+        eok, eworst = gate_grads(
+            g64, ge, 2e-2, label=" envmap", names=["axis", "lamb", "weight"]
+        )
+        f_err = float(np.abs(np.asarray(fe, np.float64) - f64).max()) / max(
+            float(np.abs(f64).max()), 1.0
+        )
+        eok = eok and f_err <= 5e-3
+        extra["gate_envmap"] = "pass" if eok else "FAIL"
+        extra["gate_envmap_grad_rel_vs_f64"] = float(f"{eworst:.3e}")
+        log(f"envmap gate {'pass' if eok else 'FAIL'} "
+            f"(fwd {f_err:.2e}, grad {eworst:.2e} vs f64)")
+        if not eok:
             RESULT["metric"] = "sg_shading_fwd_bwd_throughput_GRAD_MISMATCH"
         emit()
 

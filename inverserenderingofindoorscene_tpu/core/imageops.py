@@ -12,9 +12,77 @@ import jax
 import jax.numpy as jnp
 
 
+def _edge_fold_1d(g: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Transpose of a 1-px edge-replicate pad along ``axis``: inner rows
+    pass through, the first/last inner rows absorb the pad rows."""
+    n = g.shape[axis]
+
+    def sl(s, e):
+        return jax.lax.slice_in_dim(g, s, e, axis=axis)
+
+    first = sl(0, 1) + sl(1, 2)
+    last = sl(n - 2, n - 1) + sl(n - 1, n)
+    return jnp.concatenate([first, sl(2, n - 2), last], axis=axis)
+
+
+@jax.custom_vjp
+def _replication_pad1(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+
+
+def _replication_pad1_fwd(x):
+    return _replication_pad1(x), None
+
+
+def _replication_pad1_bwd(_, g):
+    return (_edge_fold_1d(_edge_fold_1d(g, 1), 2),)
+
+
+_replication_pad1.defvjp(_replication_pad1_fwd, _replication_pad1_bwd)
+
+
 def replication_pad(x: jnp.ndarray, pad: int = 1) -> jnp.ndarray:
-    """Edge-replicate pad the two spatial dims of an NHWC tensor."""
+    """Edge-replicate pad the two spatial dims of an NHWC tensor.
+
+    pad=1 (every call site in the models) carries a hand-written VJP:
+    XLA's auto-derived edge-pad transpose emits a slice/select/pad chain
+    that measures 25x above memory-bound on the 240x320 decoder tensors
+    (fusion.85 in the BRDF-step profile, 5.5 ms); two slice+concat edge
+    folds do the same math in 0.23 ms (scripts/profile_padgrad.py:
+    fwd+bwd 1.82 -> 0.79 ms per pad at 16x240x320x64 bf16).
+    """
+    if pad == 1:
+        return _replication_pad1(x)
     return jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="edge")
+
+
+def _upsample2x_dwconv(x: jnp.ndarray) -> jnp.ndarray:
+    """Exact 2x bilinear upsample (half-pixel centers) as a dilated
+    depthwise conv.
+
+    ``jax.image.resize('linear')`` at a factor-2 scale builds DENSE
+    [2n, n] per-axis weight matrices (2 nonzeros per row) and matmuls
+    them on the MXU.  The same map is a 4-tap [0.25 0.75 0.75 0.25]
+    separable kernel applied with lhs_dilation=2; zero padding
+    under-weights the clamped border taps (0.75 instead of 1.0), fixed
+    by an exact 4/3 rescale of the first/last row and column.  Measured
+    (scripts/profile_upsample.py, v5e bf16, 16x120x160x128):
+    fwd 1.74->1.05 ms, bwd 1.28->0.69 ms vs the dense-matmul resize.
+    """
+    b, h, w, c = x.shape
+    k1 = jnp.asarray([0.25, 0.75, 0.75, 0.25], x.dtype)
+    k = jnp.tile(jnp.outer(k1, k1)[:, :, None, None], (1, 1, 1, c))
+    y = jax.lax.conv_general_dilated(
+        x, k,
+        window_strides=(1, 1),
+        padding=((2, 2), (2, 2)),
+        lhs_dilation=(2, 2),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c,
+    )
+    fixh = jnp.ones((2 * h,), x.dtype).at[0].set(4.0 / 3.0).at[-1].set(4.0 / 3.0)
+    fixw = jnp.ones((2 * w,), x.dtype).at[0].set(4.0 / 3.0).at[-1].set(4.0 / 3.0)
+    return y * fixh[None, :, None, None] * fixw[None, None, :, None]
 
 
 def resize_bilinear(x: jnp.ndarray, out_hw) -> jnp.ndarray:
@@ -22,10 +90,18 @@ def resize_bilinear(x: jnp.ndarray, out_hw) -> jnp.ndarray:
 
     Equivalent to torch ``F.interpolate(mode='bilinear',
     align_corners=False)``: jax.image.resize('linear') uses the same
-    half-pixel sampling convention.
+    half-pixel sampling convention.  Exact factor-2 upscales of LARGE
+    wide tensors take the depthwise-conv fast path (same numbers up to
+    accumulation order).  The >=8M-element, >=32-channel gate is
+    measured (scripts/ab_upsample_steps.py): the dwconv wins on the
+    BRDF decoder tail (B16 at 240x320: step 113.6->101.1 ms) but loses
+    to the matmul on the light decoders' small B5 tensors (70.9->73.3).
     """
-    b, _, _, c = x.shape
-    return jax.image.resize(x, (b, out_hw[0], out_hw[1], c), method="linear")
+    b, h, w, c = x.shape
+    oh, ow = int(out_hw[0]), int(out_hw[1])
+    if oh == 2 * h and ow == 2 * w and c >= 32 and b * h * w * c >= 8_000_000:
+        return _upsample2x_dwconv(x)
+    return jax.image.resize(x, (b, oh, ow, c), method="linear")
 
 
 def upsample2x(x: jnp.ndarray) -> jnp.ndarray:

@@ -96,6 +96,41 @@ def apply_head(x_orig: jnp.ndarray, mode: int) -> jnp.ndarray:
     raise ValueError(f"unknown decoder mode {mode}")
 
 
+def _decoder_trunk(dtype, im_hw, feats) -> jnp.ndarray:
+    """Shared U-Net trunk body (6 dblocks + final 3-ch conv, no head).
+
+    Must be called from inside an ``@nn.compact`` ``__call__`` so the
+    ``nn.Conv``/``nn.GroupNorm`` constructions register on the caller.
+    Construction ORDER defines the param names (Conv_0..Conv_6,
+    GroupNorm_0..GroupNorm_5) and is identical for every caller, so
+    ``Decoder`` and ``DecoderTrunk`` share one param-tree layout.
+    """
+    x1, x2, x3, x4, x5, x6 = feats
+
+    def dblock(h, feats_out, groups):
+        h = nn.Conv(feats_out, (3, 3), padding=((1, 1), (1, 1)),
+                    dtype=dtype)(h)
+        h = nn.GroupNorm(num_groups=groups, epsilon=GN_EPS,
+                         dtype=dtype)(h)
+        return nn.relu(h)
+
+    dx1 = dblock(x6, 512, 32)
+    dx2 = dblock(upsample2x(jnp.concatenate([dx1, x5], -1)), 256, 16)
+    dx2 = _match_hw(dx2, x4.shape[1:3])
+    dx3 = dblock(upsample2x(jnp.concatenate([dx2, x4], -1)), 256, 16)
+    dx3 = _match_hw(dx3, x3.shape[1:3])
+    dx4 = dblock(upsample2x(jnp.concatenate([dx3, x3], -1)), 128, 8)
+    dx4 = _match_hw(dx4, x2.shape[1:3])
+    dx5 = dblock(upsample2x(jnp.concatenate([dx4, x2], -1)), 64, 4)
+    dx5 = _match_hw(dx5, x1.shape[1:3])
+    dx6 = dblock(upsample2x(jnp.concatenate([dx5, x1], -1)), 64, 4)
+    dx6 = _match_hw(dx6, im_hw)
+
+    return nn.Conv(3, (3, 3), padding="VALID", dtype=dtype)(
+        replication_pad(dx6, 1)
+    )
+
+
 class Decoder(nn.Module):
     """U-Net decoder over the 6 encoder features; output head by ``mode``.
 
@@ -108,28 +143,23 @@ class Decoder(nn.Module):
 
     @nn.compact
     def __call__(self, im: jnp.ndarray, feats: Sequence[jnp.ndarray]) -> jnp.ndarray:
-        x1, x2, x3, x4, x5, x6 = feats
-
-        def dblock(h, feats_out, groups):
-            h = nn.Conv(feats_out, (3, 3), padding=((1, 1), (1, 1)),
-                        dtype=self.dtype)(h)
-            h = nn.GroupNorm(num_groups=groups, epsilon=GN_EPS,
-                             dtype=self.dtype)(h)
-            return nn.relu(h)
-
-        dx1 = dblock(x6, 512, 32)
-        dx2 = dblock(upsample2x(jnp.concatenate([dx1, x5], -1)), 256, 16)
-        dx2 = _match_hw(dx2, x4.shape[1:3])
-        dx3 = dblock(upsample2x(jnp.concatenate([dx2, x4], -1)), 256, 16)
-        dx3 = _match_hw(dx3, x3.shape[1:3])
-        dx4 = dblock(upsample2x(jnp.concatenate([dx3, x3], -1)), 128, 8)
-        dx4 = _match_hw(dx4, x2.shape[1:3])
-        dx5 = dblock(upsample2x(jnp.concatenate([dx4, x2], -1)), 64, 4)
-        dx5 = _match_hw(dx5, x1.shape[1:3])
-        dx6 = dblock(upsample2x(jnp.concatenate([dx5, x1], -1)), 64, 4)
-        dx6 = _match_hw(dx6, im.shape[1:3])
-
-        x_orig = nn.Conv(3, (3, 3), padding="VALID", dtype=self.dtype)(
-            replication_pad(dx6, 1)
-        )
+        x_orig = _decoder_trunk(self.dtype, im.shape[1:3], feats)
         return apply_head(x_orig.astype(jnp.float32), self.mode)
+
+
+class DecoderTrunk(nn.Module):
+    """Head-less ``Decoder`` with the SAME param tree.
+
+    Exists so the four per-task decoders (whose trunks are
+    shape-identical — only the cheap elementwise heads differ) can run as
+    ONE batched computation: stack the four param trees on a leading axis
+    and ``jax.vmap`` this module.  The vmap batching rules turn the seven
+    convs into grouped convs (feature_group_count=4), quartering the
+    kernel count of the dominant cost in the BRDF train step (the four
+    decoder stacks; see scripts/profile_steps.py)."""
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, im_hw, feats) -> jnp.ndarray:
+        return _decoder_trunk(self.dtype, im_hw, feats)

@@ -21,7 +21,12 @@ from inverserenderingofindoorscene_tpu.core.imageops import (
 )
 from inverserenderingofindoorscene_tpu.core.scale import ls_regress_diff_spec
 from inverserenderingofindoorscene_tpu.losses.masked import brdf_errors
-from inverserenderingofindoorscene_tpu.models.mgnet import Decoder, Encoder
+from inverserenderingofindoorscene_tpu.models.mgnet import (
+    Decoder,
+    DecoderTrunk,
+    Encoder,
+    apply_head,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -33,6 +38,14 @@ class BRDFNets:
 
     cascade_level: int = 0
     compute_dtype: str = "float32"
+    # Run the four shape-identical decoder trunks as one vmapped (grouped-
+    # conv) computation instead of four sequential stacks.  Numerically
+    # equivalent (same ops, different grouping; parity test in
+    # tests/test_pipeline.py).  Default OFF: measured on v5e the grouped
+    # convs XLA derives from the vmap lower WORSE than four sequential
+    # stacks (121.5 vs 113.6 ms/step bf16 at B16 240x320 —
+    # scripts/ab_fused_decoders.py), so this stays an ablation knob.
+    fuse_decoders: bool = False
 
     @property
     def _dtype(self):
@@ -144,13 +157,29 @@ def brdf_forward(nets: BRDFNets, params: dict, batch: dict) -> dict:
         inp = prepare_cascade_input(batch, im.shape[1:3])
 
     feats = nets.encoder.apply(params["encoder"], inp)
-    decs = nets.decoders
-    preds = {
-        "albedo": 0.5 * (decs["albedo"].apply(params["albedo"], im, feats) + 1.0),
-        "normal": decs["normal"].apply(params["normal"], im, feats),
-        "rough": decs["rough"].apply(params["rough"], im, feats),
-        "depth": 0.5 * (decs["depth"].apply(params["depth"], im, feats) + 1.0),
-    }
+    if nets.fuse_decoders:
+        trunk = DecoderTrunk(dtype=nets._dtype)
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs),
+            params["albedo"], params["normal"], params["rough"], params["depth"],
+        )
+        x_orig = jax.vmap(
+            lambda p: trunk.apply(p, im.shape[1:3], feats)
+        )(stacked).astype(jnp.float32)
+        preds = {
+            "albedo": 0.5 * (apply_head(x_orig[0], 0) + 1.0),
+            "normal": apply_head(x_orig[1], 1),
+            "rough": apply_head(x_orig[2], 2),
+            "depth": 0.5 * (apply_head(x_orig[3], 4) + 1.0),
+        }
+    else:
+        decs = nets.decoders
+        preds = {
+            "albedo": 0.5 * (decs["albedo"].apply(params["albedo"], im, feats) + 1.0),
+            "normal": decs["normal"].apply(params["normal"], im, feats),
+            "rough": decs["rough"].apply(params["rough"], im, feats),
+            "depth": 0.5 * (decs["depth"].apply(params["depth"], im, feats) + 1.0),
+        }
     return preds
 
 

@@ -9,6 +9,9 @@ Usage: python scripts/profile_steps.py [--stage brdf|light|both]
 """
 import argparse
 import glob
+import sys
+
+sys.path.insert(0, "/root/repo")
 import gzip
 import json
 import os

@@ -69,6 +69,30 @@ def test_brdf_step_shapes_and_finite(cascade_level):
     assert np.isfinite(float(total))
 
 
+def test_fused_decoders_match_unfused():
+    """The vmapped 4-trunk path is the sequential path up to conv
+    accumulation-order noise (the normal head's L2-normalize amplifies
+    it near zero-norm pixels, hence the looser tolerance there)."""
+    import dataclasses
+
+    from inverserenderingofindoorscene_tpu.pipeline.brdf import brdf_forward
+
+    nets = BRDFNets(cascade_level=0, fuse_decoders=True)
+    params = nets.init(jax.random.PRNGKey(0), IM_HW)
+    batch = tiny_batch()
+    fused = jax.jit(lambda p, b: brdf_forward(nets, p, b))(params, batch)
+    unfused = jax.jit(
+        lambda p, b: brdf_forward(
+            dataclasses.replace(nets, fuse_decoders=False), p, b
+        )
+    )(params, batch)
+    for k in fused:
+        tol = 1e-4 if k == "normal" else 5e-6
+        np.testing.assert_allclose(
+            np.asarray(fused[k]), np.asarray(unfused[k]), atol=tol, err_msg=k
+        )
+
+
 def test_brdf_train_step_descends():
     nets = BRDFNets(cascade_level=0)
     params = nets.init(jax.random.PRNGKey(0), IM_HW)
