@@ -163,8 +163,11 @@ def f64_anchor_gate(shape, seed, grad_tol=2e-2, fwd_tol=5e-3):
     fp = jax.device_get(jax.jit(render_sg)(*args))
 
     cpu = jax.devices("cpu")[0]
-    args64 = [jnp.asarray(np.asarray(a), jnp.float64) for a in args]
-    with jax.default_device(cpu):
+    # enable_x64 is scoped: enabling it globally changes integer/iota
+    # dtypes inside the Mosaic kernels and breaks their compile, so only
+    # the CPU anchor runs under it.
+    with jax.enable_x64(True), jax.default_device(cpu):
+        args64 = [jnp.asarray(np.asarray(a), jnp.float64) for a in args]
 
         def loss64(*a):
             d, s = jnp_path(*a)
@@ -278,9 +281,9 @@ def main():
         )
         fe = jax.device_get(jax.jit(sg_envmap)(ax_s, lm_s, wg_s))
         cpu = jax.devices("cpu")[0]
-        a64 = [jnp.asarray(np.asarray(a), jnp.float64)
-               for a in (ax_s, lm_s, wg_s)]
-        with jax.default_device(cpu):
+        with jax.enable_x64(True), jax.default_device(cpu):
+            a64 = [jnp.asarray(np.asarray(a), jnp.float64)
+                   for a in (ax_s, lm_s, wg_s)]
             g64 = jax.device_get(
                 jax.grad(lambda *a: env_loss(sg.sg_to_envmap, *a),
                          argnums=(0, 1, 2))(*a64)

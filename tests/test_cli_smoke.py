@@ -12,6 +12,10 @@ import struct
 import numpy as np
 import pytest
 
+# Excluded from the fast pre-commit gate (pytest -m 'not slow'); see
+# [tool.pytest.ini_options] in pyproject.toml.
+pytestmark = pytest.mark.slow
+
 IM_HW = (64, 64)
 ENV_RC = (32, 32)
 NIMG = 3

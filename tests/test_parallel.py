@@ -27,6 +27,10 @@ from inverserenderingofindoorscene_tpu.train.steps import (
     reference_adam,
 )
 
+# Excluded from the fast pre-commit gate (pytest -m 'not slow'); see
+# [tool.pytest.ini_options] in pyproject.toml.
+pytestmark = pytest.mark.slow
+
 IM_HW = (64, 64)
 ENV_RC = (32, 32)
 

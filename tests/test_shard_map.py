@@ -35,6 +35,10 @@ needs8 = pytest.mark.skipif(
     len(jax.devices()) < 8, reason="needs 8 virtual devices"
 )
 
+# Excluded from the fast pre-commit gate (pytest -m 'not slow'); see
+# [tool.pytest.ini_options] in pyproject.toml.
+pytestmark = pytest.mark.slow
+
 
 def data_mesh():
     return Mesh(np.asarray(jax.devices()[:8]), axis_names=("data",))
