@@ -66,6 +66,27 @@ def build_step(stage, dtype):
         step = jax.jit(make_brdf_train_step(nets), donate_argnums=(0,))
         state = create_train_state(params, reference_adam(1e-4))
         return step, state, batch
+    if stage == "bilateral":
+        from inverserenderingofindoorscene_tpu.pipeline.bilateral import (
+            BilateralNets,
+        )
+        from inverserenderingofindoorscene_tpu.train.steps import (
+            make_bilateral_train_step,
+        )
+
+        # reference operating point: batch 2 at 240x320
+        # (trainBRDFBilateral.py:27-28)
+        brdf_nets = BRDFNets(cascade_level=0, compute_dtype=dtype)
+        bs_nets = BilateralNets()
+        bp = brdf_nets.init(jax.random.PRNGKey(0), (240, 320))
+        sp = bs_nets.init(jax.random.PRNGKey(1), (240, 320))
+        batch = synthetic_batch(batch=2, im_hw=(240, 320), env_rc=(120, 160))
+        step = jax.jit(
+            make_bilateral_train_step(brdf_nets, bs_nets, bp),
+            donate_argnums=(0,),
+        )
+        state = create_train_state(sp, reference_adam(1e-4))
+        return step, state, batch
     brdf_nets = BRDFNets(cascade_level=0, compute_dtype=dtype)
     light_nets = LightNets(cascade_level=0, compute_dtype=dtype)
     bp = brdf_nets.init(jax.random.PRNGKey(0), (240, 320))
