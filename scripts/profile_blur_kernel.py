@@ -74,19 +74,27 @@ def make_pallas_blur(r):
     ntiles = V // T
 
     def kernel(offs_ref, nbr_ref, y_ref, out_ref):
+        # nbr_ref is [V, DIRS] (dirs on lanes): every dynamic slice must
+        # be on the SUBLANE dim — a dynamic lane-dim slice does not
+        # compile (the opaque HTTP-500 Mosaic failure of the first cut).
         j = pl.program_id(0)
         row0 = j * T
         acc = 2.0 * 5 * y_ref[pl.ds(row0, T), :]
         iota = jax.lax.broadcasted_iota(jnp.int32, (T, r), 1)
+        idx_all = nbr_ref[pl.ds(row0, T), :]
         for d in range(DIRS):
-            s = offs_ref[d, j]
-            idx = nbr_ref[d, pl.ds(row0, T)]
+            s = pl.multiple_of(offs_ref[d, j], 128)
+            idx = idx_all[:, d:d + 1]  # [T, 1]
             win = y_ref[pl.ds(s, r), :]
-            rel = idx - s
-            oh = ((rel[:, None] == iota) & (idx >= 0)[:, None]).astype(
-                jnp.float32
+            oh = (((idx - s) == iota) & (idx >= 0)).astype(jnp.float32)
+            # HIGHEST precision: the default MXU pass rounds the gathered
+            # window values to bf16 (measured 4e-2 abs error); bf16x3
+            # reconstructs the exact f32 selection (measured maxdiff 0.0)
+            acc = acc + jax.lax.dot_general(
+                oh, win, (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
             )
-            acc = acc + jnp.dot(oh, win, preferred_element_type=jnp.float32)
         out_ref[pl.ds(row0, T), :] = acc
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -143,11 +151,12 @@ def main():
                 if len(valid) and (valid - offs_np[d, j]).max() >= r:
                     ok = False
         offs = jnp.asarray(offs_np)
+        nbr_t = jnp.asarray(nbr_np.T.copy())  # [V, DIRS], dirs on lanes
         blur = make_pallas_blur(r)
         fn = lambda yy, oo, nn: blur(oo, nn, yy)
-        out = np.asarray(jax.jit(fn)(y, offs, nbr))
+        out = np.asarray(jax.jit(fn)(y, offs, nbr_t))
         err = np.abs(out - ref).max() if ok else float("nan")
-        t = scan_time(fn, y, offs, nbr)
+        t = scan_time(fn, y, offs, nbr_t)
         print(
             f"pallas windowed R={r:<5} {t:6.3f} ms  maxdiff {err:.2e}"
             f"{'' if ok else '  (spread>R: parity skipped)'}",
