@@ -14,7 +14,10 @@ python -m inverserenderingofindoorscene_tpu.cli.output_brdf_light \
     --dataRoot "$DATA_ROOT" --cascadeLevel 0
 python -m inverserenderingofindoorscene_tpu.cli.train_finetune_iiw \
     --dataRoot "$DATA_ROOT" --iiwRoot "$IIW_ROOT" --cascadeLevel 1
-# inference over the IIW test list (paths under $IIW_ROOT) + WHDR
+# inference over the IIW test list (paths under $IIW_ROOT) + WHDR.
+# IIWTest.txt is the published split list shipped with the reference repo
+# (/root/reference/IIWTest.txt) / the IIW release - a dataset artifact,
+# expected in the working directory or substituted with your own split.
 sed "s|^|$IIW_ROOT/|" IIWTest.txt > /tmp/iiw_test_paths.txt
 python -m inverserenderingofindoorscene_tpu.cli.test_real \
     --imList /tmp/iiw_test_paths.txt --output IIW_results --level 2

@@ -14,7 +14,10 @@ python -m inverserenderingofindoorscene_tpu.cli.train_finetune_nyu \
     --dataRoot "$DATA_ROOT" --nyuImRoot "$NYU_ROOT/images" \
     --nyuNormalRoot "$NYU_ROOT/normals" --nyuDepthRoot "$NYU_ROOT/depths" \
     --nyuSegRoot "$NYU_ROOT/segs" --cascadeLevel 1
-# inference over the NYU test list (paths under $NYU_ROOT/images) + metrics
+# inference over the NYU test list (paths under $NYU_ROOT/images) + metrics.
+# NYUTest.txt is the published split list shipped with the reference repo
+# (/root/reference/NYUTest.txt) - a dataset artifact, expected in the
+# working directory or substituted with your own split.
 sed "s|^|$NYU_ROOT/images/|" NYUTest.txt > /tmp/nyu_test_paths.txt
 python -m inverserenderingofindoorscene_tpu.cli.test_real \
     --imList /tmp/nyu_test_paths.txt --output NYU_results --level 2
