@@ -12,6 +12,7 @@ bench.py records (`bilateral_fwd_bwd_ms`).
 
 Usage: python scripts/bench_bilateral_baseline.py [n_images]
 """
+import os
 import sys
 import time
 
@@ -25,7 +26,9 @@ from scipy.sparse.linalg import cg
 
 from oracle_bilateral import GridOracle, bistochastize
 
-H, W, C = 120, 160, 3
+H = int(os.environ.get("BS_H", 120))
+W = int(os.environ.get("BS_W", 160))
+C = 3
 # mode 0 (albedo) hyperparameters, BilateralLayer.py:131-143
 SIGMA_LUMA, SIGMA_CHROMA, SIGMA_SPATIAL, LAM, MAXITER = 8.0, 2.0, 7.0, 200.0, 12
 
