@@ -72,11 +72,18 @@ def main(argv=None):
     light_params = load_frozen_light(opt, k2, light_nets)
 
     loader = common.make_loader(opt, opt.mode, is_light=True, shuffle=False)
-    fwd = jax.jit(
-        lambda b: export_step(
-            brdf_nets, light_nets, brdf_params, light_params, b,
-            offset=opt.offset,
-        )
+    # params as jit args (closed-over trees embed as HLO constants and
+    # bloat/overflow the remote compile request at full resolution)
+    import functools
+
+    fwd = functools.partial(
+        jax.jit(
+            lambda ps, b: export_step(
+                brdf_nets, light_nets, ps[0], ps[1], b,
+                offset=opt.offset,
+            )
+        ),
+        jax.device_put((brdf_params, light_params)),
     )
 
     logger = MetricLogger()

@@ -14,6 +14,7 @@ Usage: python -m inverserenderingofindoorscene_tpu.cli.test_real \
 from __future__ import annotations
 
 import argparse
+import functools
 import os
 import os.path as osp
 
@@ -318,22 +319,30 @@ def main(argv=None):
     with open(opt.imList) as f:
         im_list = [x.strip() for x in f if x.strip()]
 
-    # Jitted closures (recompiled per unique image aspect, cached after).
-    import functools
-
-    brdf0_nets, bp0_ = stacks[0][0], stacks[0][1]
-    light0_nets, lp0_ = stacks[0][2], stacks[0][3]
-    jit_brdf0 = jax.jit(lambda im: predict_brdf(brdf0_nets, bp0_, im))
-    jit_light0 = jax.jit(
-        lambda im, preds, im_small, fov: predict_light_core(
-            light0_nets, lp0_, im, preds, im_small, fov
+    # Jitted per-stage functions (recompiled per unique image aspect,
+    # cached after).  Param trees are passed as ARGUMENTS, not closed
+    # over: jit embeds closed-over arrays as HLO constants, and on the
+    # remote-compile TPU backend the weight-laden program body exceeds
+    # the compile request size limit (HTTP 413).  Passing them keeps the
+    # program small and the weights on device.
+    brdf0_nets, bp0_ = stacks[0][0], jax.device_put(stacks[0][1])
+    light0_nets, lp0_ = stacks[0][2], jax.device_put(stacks[0][3])
+    jit_brdf0 = functools.partial(
+        jax.jit(lambda bp, im: predict_brdf(brdf0_nets, bp, im)), bp0_
+    )
+    jit_light0 = functools.partial(
+        jax.jit(
+            lambda lp, im, preds, im_small, fov: predict_light_core(
+                light0_nets, lp, im, preds, im_small, fov
+            ),
+            static_argnums=(4,),
         ),
-        static_argnums=(3,),
+        lp0_,
     )
     if opt.level == 2:
-        brdf1_nets, bp1_ = stacks[1][0], stacks[1][1]
-        light1_nets, lp1_ = stacks[1][2], stacks[1][3]
-        def _cascade1(im, preds, diffuse, specular):
+        brdf1_nets, bp1_ = stacks[1][0], jax.device_put(stacks[1][1])
+        light1_nets, lp1_ = stacks[1][2], jax.device_put(stacks[1][3])
+        def _cascade1(bp, im, preds, diffuse, specular):
             hw = im.shape[1:3]
             extra = [
                 resize_bilinear(preds["albedo"], hw),
@@ -343,17 +352,26 @@ def main(argv=None):
                 resize_bilinear(diffuse, hw),
                 resize_bilinear(specular, hw),
             ]
-            return predict_brdf(brdf1_nets, bp1_, im, extra)
+            return predict_brdf(brdf1_nets, bp, im, extra)
 
-        jit_brdf1 = jax.jit(_cascade1)
-        jit_light1 = jax.jit(
-            lambda im, preds, im_small, fov, env_pre: predict_light_core(
-                light1_nets, lp1_, im, preds, im_small, fov, env_pre
+        jit_brdf1 = functools.partial(jax.jit(_cascade1), bp1_)
+        jit_light1 = functools.partial(
+            jax.jit(
+                lambda lp, im, preds, im_small, fov, env_pre:
+                predict_light_core(
+                    light1_nets, lp, im, preds, im_small, fov, env_pre
+                ),
+                static_argnums=(4,),
             ),
-            static_argnums=(3,),
+            lp1_,
         )
     bs_params = load_bs_params(opt) if opt.isBS else None
-    jit_bs = jax.jit(lambda im, preds: refine_bs(im, preds, bs_params))
+    if bs_params is not None:
+        bs_params = jax.device_put(bs_params)
+    jit_bs = jax.jit(
+        lambda bsp, im, preds: refine_bs(im, preds, bsp)
+    )
+    jit_bs = functools.partial(jit_bs, bs_params)
 
     for im_path in im_list:
         name = osp.splitext(osp.basename(im_path))[0]

@@ -21,6 +21,7 @@ Usage: python -m inverserenderingofindoorscene_tpu.cli.test_synthetic \
 
 from __future__ import annotations
 
+import functools
 import os
 import os.path as osp
 
@@ -141,11 +142,13 @@ def main(argv=None):
                 "brdf", opt.cascadeLevel,
             )
 
-        def run(b):
-            preds, errors = brdf_step(brdf_nets, brdf_params, b)
+        # params ride as jit args: closed-over trees embed as HLO
+        # constants and bloat/overflow the remote compile request
+        def run(bp, b):
+            preds, errors = brdf_step(brdf_nets, bp, b)
             return errors, preds
 
-        fwd = jax.jit(run)
+        fwd = functools.partial(jax.jit(run), jax.device_put(brdf_params))
         loader = common.make_loader(opt, "TEST", is_light=False,
                                     shuffle=False)
     elif opt.stage == "light":
@@ -164,9 +167,9 @@ def main(argv=None):
                 "light", opt.cascadeLevel,
             )
 
-        def run(b):
+        def run(ps, b):
             losses, aux = light_step(
-                brdf_nets, light_nets, brdf_params, light_params, b,
+                brdf_nets, light_nets, ps[0], ps[1], b,
                 offset=opt.offset,
             )
             return losses, {
@@ -174,7 +177,9 @@ def main(argv=None):
                 "rendered": aux["rendered"],
             }
 
-        fwd = jax.jit(run)
+        fwd = functools.partial(
+            jax.jit(run), jax.device_put((brdf_params, light_params))
+        )
         loader = common.make_loader(opt, "TEST", is_light=True, shuffle=False)
     else:
         bs_nets = BilateralNets()
@@ -191,13 +196,15 @@ def main(argv=None):
                                             epoch, state)
             bs_params = state.params
 
-        def run(b):
+        def run(ps, b):
             losses, aux = bilateral_step(
-                brdf_nets, bs_nets, brdf_params, bs_params, b
+                brdf_nets, bs_nets, ps[0], ps[1], b
             )
             return losses, {"raw": aux["preds"], "bs": aux["refined"]}
 
-        fwd = jax.jit(run)
+        fwd = functools.partial(
+            jax.jit(run), jax.device_put((brdf_params, bs_params))
+        )
         loader = common.make_loader(opt, "TEST", is_light=False,
                                     shuffle=False)
 

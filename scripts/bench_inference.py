@@ -1,0 +1,132 @@
+"""End-to-end inference throughput: the full testReal chain on one chip.
+
+Times the steady-state (post-compile) per-image latency of the complete
+in-the-wild pipeline at the reference operating point (landscape
+240x320 image, 120x160 lighting grid, SG12, fov 57):
+
+  cascade-0 BRDF -> light 0 (SG decode + render + scale fit) ->
+  cascade-1 BRDF (17ch) -> light 1 (with env_pre) ->
+  bilateral refinement of albedo/rough/depth
+
+i.e. exactly what cli/test_real.py runs per image
+(/root/reference/testReal.py:356-540), minus disk I/O and the
+host-side cLight branching (which is O(scalars)).  Random weights —
+latency does not depend on the parameter values.
+
+Usage: python scripts/bench_inference.py [--no-bs] [--iters N]
+"""
+import argparse
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+
+
+def fence(out):
+    np.asarray(jax.tree_util.tree_leaves(out)[0])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--no-bs", action="store_true")
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--imHeight", type=int, default=240)
+    ap.add_argument("--imWidth", type=int, default=320)
+    opt = ap.parse_args()
+
+    from inverserenderingofindoorscene_tpu.cli.test_real import (
+        predict_brdf,
+        predict_light_core,
+        refine_bs,
+    )
+    from inverserenderingofindoorscene_tpu.core.imageops import (
+        adaptive_avg_pool,
+        resize_bilinear,
+    )
+    from inverserenderingofindoorscene_tpu.pipeline.brdf import BRDFNets
+    from inverserenderingofindoorscene_tpu.pipeline.light import LightNets
+
+    h, w = opt.imHeight, opt.imWidth
+    er, ec = h // 2, w // 2  # 120x160 lighting grid at the reference point
+    rng = jax.random.PRNGKey(0)
+    ks = jax.random.split(rng, 4)
+    stacks = []
+    for lvl in range(2):
+        brdf = BRDFNets(cascade_level=lvl)
+        light = LightNets(cascade_level=lvl, env_rows=er, env_cols=ec)
+        stacks.append(
+            (brdf, brdf.init(ks[2 * lvl], (h, w)),
+             light, light.init(ks[2 * lvl + 1], (er * 4, ec * 4)))
+        )
+    (b0, bp0, l0, lp0), (b1, bp1, l1, lp1) = stacks
+
+    fov = 57.0
+
+    # One jit per stage, exactly like cli/test_real.py:326-356 — a single
+    # whole-chain program exceeds the remote compile service's request
+    # size limit (HTTP 413), and the per-stage split is what the real
+    # driver runs anyway.  Stages chain asynchronously; only the final
+    # fetch synchronizes.
+    # Params are jit ARGUMENTS (closed-over arrays embed as HLO constants
+    # and blow the remote compile service's request size limit, HTTP 413).
+    @jax.jit
+    def stage0(bp, lp, im):
+        im_small = adaptive_avg_pool(im, (er, ec))
+        preds0 = predict_brdf(b0, bp, im)
+        light0 = predict_light_core(l0, lp, im, preds0, im_small, fov)
+        return im_small, preds0, light0
+
+    @jax.jit
+    def stage1(bp, lp, im, im_small, preds0, light0):
+        hw = im.shape[1:3]
+        extra = [
+            resize_bilinear(preds0["albedo"], hw),
+            0.5 * (resize_bilinear(preds0["normal"], hw) + 1.0),
+            0.5 * (resize_bilinear(preds0["rough"], hw) + 1.0),
+            resize_bilinear(preds0["depth"], hw),
+            resize_bilinear(light0["diffuse"], hw),
+            resize_bilinear(light0["specular"], hw),
+        ]
+        preds1 = predict_brdf(b1, bp, im, extra)
+        light1 = predict_light_core(
+            l1, lp, im, preds1, im_small, fov, env_pre=light0["sg_flat"]
+        )
+        return preds1, light1
+
+    jit_bs = jax.jit(lambda im, preds: refine_bs(im, preds, None))
+    bp0, lp0, bp1, lp1 = jax.device_put((bp0, lp0, bp1, lp1))
+
+    def chain(im):
+        im_small, preds0, light0 = stage0(bp0, lp0, im)
+        preds1, light1 = stage1(bp1, lp1, im, im_small, preds0, light0)
+        out = {"preds": preds1, "env": light1["env_img"],
+               "sg": light1["sg_flat"]}
+        if not opt.no_bs:
+            out["refined"] = jit_bs(im, preds1)
+        return out
+
+    im = jnp.asarray(np.random.RandomState(0).rand(1, h, w, 3), jnp.float32)
+    t0 = time.time()
+    print("compiling the full chain ...", flush=True)
+    fence(chain(im))
+    print(f"compiled in {time.time() - t0:.0f} s; timing ...", flush=True)
+    fence(chain(im))
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(opt.iters):
+        out = chain(im)
+    fence(out)
+    ms = (time.perf_counter() - t0) / opt.iters * 1e3
+    tag = "full chain (2 cascades + light + BS)" if not opt.no_bs else \
+        "2 cascades + light (no BS)"
+    print(f"{tag}: {ms:.1f} ms/image  ({1e3 / ms:.2f} images/s/chip)",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()
