@@ -70,6 +70,17 @@ def parse_args(argv=None):
                         "confidence if absent")
     p.add_argument("--bsEpoch", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--computeDtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="conv-stack compute dtype (params stay f32; "
+                        "bfloat16 roughly halves conv time on the MXU)")
+    p.add_argument("--usePallas", action="store_true",
+                   help="route the SG decode/render through the fused "
+                        "Pallas forward kernels; default is the jnp path, "
+                        "which A/B-measures FASTER at batch-1 inference "
+                        "(83.2 vs 97.8 ms/image - kernel launch/relayout "
+                        "overheads beat fusion gains at B1; the kernels "
+                        "win in training where batches amortize them)")
     return p.parse_args(argv)
 
 
@@ -85,7 +96,7 @@ def load_stack(opt):
     stacks = []
     for lvl in range(opt.level):
         k1, k2, rng = jax.random.split(rng, 3)
-        brdf = BRDFNets(cascade_level=lvl)
+        brdf = BRDFNets(cascade_level=lvl, compute_dtype=opt.computeDtype)
         bp = brdf.init(k1, (opt.imHeight, opt.imWidth))
         exp = getattr(opt, f"experimentBRDF{lvl}") or (
             "check_cascade%d_w%d_h%d" % (lvl, opt.imWidth, opt.imHeight)
@@ -102,6 +113,7 @@ def load_stack(opt):
             sg_num=opt.SGNum, cascade_level=lvl,
             env_rows=opt.envRow, env_cols=opt.envCol,
             env_height=opt.envHeight, env_width=opt.envWidth,
+            compute_dtype=opt.computeDtype,
         )
         lp = light.init(k2)
         exp = getattr(opt, f"experimentLight{lvl}") or (
@@ -167,10 +179,14 @@ def predict_brdf(brdf_nets, bp, im, extra=None):
 
 
 def predict_light_core(light_nets, lp, im, preds, im_small, fov,
-                       env_pre=None):
+                       env_pre=None, use_pallas=False):
     """Jittable part of the light stack + render + LSregressDiffSpec
     (testReal.py:382-419). The data-dependent cLight/cAlbedo branching
-    stays in Python (predict_light)."""
+    stays in Python (predict_light).
+
+    ``use_pallas``: route the SG->envmap decode and the shading integral
+    through the fused forward kernels (ops/sg_render.py) instead of the
+    jnp path — same math (kernel parity tests), faster on TPU."""
     eh, ew = im_small.shape[1:3]
     inp = light_input_from_preds(im, preds, (eh * 4, ew * 4))
     feats = light_nets.encoder.apply(lp["encoder"], inp, env_pre)
@@ -184,18 +200,46 @@ def predict_light_core(light_nets, lp, im, preds, im_small, fov,
          weight01.reshape(b, eh, ew, -1)],
         axis=-1,
     )
-    env_img, _, _, _ = sg.squashed_sg_to_envmap(
-        axis, lamb01, weight01, light_nets.env_height, light_nets.env_width
-    )
+    if use_pallas:
+        from inverserenderingofindoorscene_tpu.core.imageops import (
+            adaptive_avg_pool,
+        )
+        from inverserenderingofindoorscene_tpu.ops.sg_render import (
+            render_sg,
+            sg_envmap,
+        )
 
-    layer = RenderLayer(
-        env_rows=eh, env_cols=ew,
-        env_height=light_nets.env_height, env_width=light_nets.env_width,
-        fov_deg=fov,
-    )
-    diffuse, specular = layer.forward_env(
-        preds["albedo"], preds["normal"], preds["rough"], env_img
-    )
+        interp = jax.default_backend() != "tpu"
+        lamb = sg.unsquash(lamb01)
+        weight = sg.unsquash(weight01)
+        env_img = sg_envmap(
+            axis, lamb, weight,
+            light_nets.env_height, light_nets.env_width, interpret=interp,
+        )
+        diffuse, specular = render_sg(
+            adaptive_avg_pool(preds["albedo"], (eh, ew)),
+            adaptive_avg_pool(preds["normal"], (eh, ew)),
+            adaptive_avg_pool(preds["rough"], (eh, ew)),
+            axis, lamb, weight,
+            fov_deg=fov,
+            env_height=light_nets.env_height,
+            env_width=light_nets.env_width,
+            interpret=interp,
+        )
+    else:
+        env_img, _, _, _ = sg.squashed_sg_to_envmap(
+            axis, lamb01, weight01, light_nets.env_height,
+            light_nets.env_width
+        )
+        layer = RenderLayer(
+            env_rows=eh, env_cols=ew,
+            env_height=light_nets.env_height,
+            env_width=light_nets.env_width,
+            fov_deg=fov,
+        )
+        diffuse, specular = layer.forward_env(
+            preds["albedo"], preds["normal"], preds["rough"], env_img
+        )
     diffuse_new, specular_new = ls_regress_diff_spec(
         diffuse, specular, im_small, diffuse, specular
     )
@@ -330,10 +374,12 @@ def main(argv=None):
     jit_brdf0 = functools.partial(
         jax.jit(lambda bp, im: predict_brdf(brdf0_nets, bp, im)), bp0_
     )
+    use_pallas = (jax.default_backend() == "tpu") and opt.usePallas
     jit_light0 = functools.partial(
         jax.jit(
             lambda lp, im, preds, im_small, fov: predict_light_core(
-                light0_nets, lp, im, preds, im_small, fov
+                light0_nets, lp, im, preds, im_small, fov,
+                use_pallas=use_pallas,
             ),
             static_argnums=(4,),
         ),
@@ -359,7 +405,8 @@ def main(argv=None):
             jax.jit(
                 lambda lp, im, preds, im_small, fov, env_pre:
                 predict_light_core(
-                    light1_nets, lp, im, preds, im_small, fov, env_pre
+                    light1_nets, lp, im, preds, im_small, fov, env_pre,
+                    use_pallas=use_pallas,
                 ),
                 static_argnums=(4,),
             ),

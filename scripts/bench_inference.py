@@ -34,6 +34,9 @@ def fence(out):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--no-bs", action="store_true")
+    ap.add_argument("--use-pallas", action="store_true")
+    ap.add_argument("--dtype", default="float32",
+                    choices=["float32", "bfloat16"])
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--imHeight", type=int, default=240)
     ap.add_argument("--imWidth", type=int, default=320)
@@ -56,9 +59,11 @@ def main():
     rng = jax.random.PRNGKey(0)
     ks = jax.random.split(rng, 4)
     stacks = []
+    use_pallas = (jax.default_backend() == "tpu") and opt.use_pallas
     for lvl in range(2):
-        brdf = BRDFNets(cascade_level=lvl)
-        light = LightNets(cascade_level=lvl, env_rows=er, env_cols=ec)
+        brdf = BRDFNets(cascade_level=lvl, compute_dtype=opt.dtype)
+        light = LightNets(cascade_level=lvl, env_rows=er, env_cols=ec,
+                          compute_dtype=opt.dtype)
         stacks.append(
             (brdf, brdf.init(ks[2 * lvl], (h, w)),
              light, light.init(ks[2 * lvl + 1], (er * 4, ec * 4)))
@@ -78,7 +83,8 @@ def main():
     def stage0(bp, lp, im):
         im_small = adaptive_avg_pool(im, (er, ec))
         preds0 = predict_brdf(b0, bp, im)
-        light0 = predict_light_core(l0, lp, im, preds0, im_small, fov)
+        light0 = predict_light_core(l0, lp, im, preds0, im_small, fov,
+                                    use_pallas=use_pallas)
         return im_small, preds0, light0
 
     @jax.jit
@@ -94,7 +100,8 @@ def main():
         ]
         preds1 = predict_brdf(b1, bp, im, extra)
         light1 = predict_light_core(
-            l1, lp, im, preds1, im_small, fov, env_pre=light0["sg_flat"]
+            l1, lp, im, preds1, im_small, fov, env_pre=light0["sg_flat"],
+            use_pallas=use_pallas,
         )
         return preds1, light1
 
@@ -122,8 +129,9 @@ def main():
         out = chain(im)
     fence(out)
     ms = (time.perf_counter() - t0) / opt.iters * 1e3
-    tag = "full chain (2 cascades + light + BS)" if not opt.no_bs else \
-        "2 cascades + light (no BS)"
+    tag = ("full chain (2 cascades + light + BS)" if not opt.no_bs else
+           "2 cascades + light (no BS)")
+    tag += f" [{opt.dtype}{'' if use_pallas else ', no pallas'}]"
     print(f"{tag}: {ms:.1f} ms/image  ({1e3 / ms:.2f} images/s/chip)",
           flush=True)
 
