@@ -38,6 +38,9 @@ def main():
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "bfloat16"])
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--batch", type=int, default=1,
+                    help="images per batch (same-aspect batching; the "
+                         "reference driver is strictly B1)")
     ap.add_argument("--imHeight", type=int, default=240)
     ap.add_argument("--imWidth", type=int, default=320)
     opt = ap.parse_args()
@@ -117,7 +120,9 @@ def main():
             out["refined"] = jit_bs(im, preds1)
         return out
 
-    im = jnp.asarray(np.random.RandomState(0).rand(1, h, w, 3), jnp.float32)
+    im = jnp.asarray(
+        np.random.RandomState(0).rand(opt.batch, h, w, 3), jnp.float32
+    )
     t0 = time.time()
     print("compiling the full chain ...", flush=True)
     fence(chain(im))
@@ -128,10 +133,10 @@ def main():
     for _ in range(opt.iters):
         out = chain(im)
     fence(out)
-    ms = (time.perf_counter() - t0) / opt.iters * 1e3
+    ms = (time.perf_counter() - t0) / opt.iters / opt.batch * 1e3
     tag = ("full chain (2 cascades + light + BS)" if not opt.no_bs else
            "2 cascades + light (no BS)")
-    tag += f" [{opt.dtype}{'' if use_pallas else ', no pallas'}]"
+    tag += f" [B{opt.batch} {opt.dtype}{', pallas' if use_pallas else ''}]"
     print(f"{tag}: {ms:.1f} ms/image  ({1e3 / ms:.2f} images/s/chip)",
           flush=True)
 
