@@ -374,7 +374,9 @@ def main(argv=None):
     jit_brdf0 = functools.partial(
         jax.jit(lambda bp, im: predict_brdf(brdf0_nets, bp, im)), bp0_
     )
-    use_pallas = (jax.default_backend() == "tpu") and opt.usePallas
+    # off-TPU the kernels run in interpret mode (slow but correct), so
+    # the flag alone decides — which also lets CPU tests cover the branch
+    use_pallas = opt.usePallas
     jit_light0 = functools.partial(
         jax.jit(
             lambda lp, im, preds, im_small, fov: predict_light_core(

@@ -62,7 +62,7 @@ def main():
     rng = jax.random.PRNGKey(0)
     ks = jax.random.split(rng, 4)
     stacks = []
-    use_pallas = (jax.default_backend() == "tpu") and opt.use_pallas
+    use_pallas = opt.use_pallas
     for lvl in range(2):
         brdf = BRDFNets(cascade_level=lvl, compute_dtype=opt.dtype)
         light = LightNets(cascade_level=lvl, env_rows=er, env_cols=ec,
