@@ -41,24 +41,39 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     return p
 
 
+def default_experiment_name(opt, kind: str, offset=None,
+                            cascade=None) -> str:
+    """The reference checkpoint-dir naming contract (trainBRDF.py:66,
+    trainLight.py:66-67, trainBRDFBilateral.py:71-75) — the ONE place
+    these format strings live; every producer and consumer resolves
+    default directories through it so they cannot drift apart.
+
+    ``cascade`` overrides opt.cascadeLevel (drivers like test_real walk
+    both cascade levels with one opt)."""
+    if cascade is None:
+        cascade = opt.cascadeLevel
+    if kind == "brdf":
+        return "check_cascade%d_w%d_h%d" % (
+            cascade, opt.imWidth, opt.imHeight
+        )
+    if kind == "light":
+        off = offset if offset is not None else getattr(opt, "offset", 1.0)
+        return "check_cascadeLight%d_sg%d_offset%.1f" % (
+            cascade, opt.SGNum, off
+        )
+    if kind == "bs":
+        return "checkBs_cascade%d_w%d_h%d" % (
+            cascade, opt.imWidth, opt.imHeight
+        )
+    return "check_" + kind
+
+
 def experiment_dir(opt, kind: str) -> str:
     """Reference naming contracts so stages find each other's checkpoints."""
     if opt.experiment is not None:
         exp = opt.experiment
-    elif kind == "brdf":
-        exp = "check_cascade%d_w%d_h%d" % (
-            opt.cascadeLevel, opt.imWidth, opt.imHeight
-        )
-    elif kind == "light":
-        exp = "check_cascadeLight%d_sg%d_offset%.1f" % (
-            opt.cascadeLevel, opt.SGNum, getattr(opt, "offset", 1.0)
-        )
-    elif kind == "bs":
-        exp = "checkBs_cascade%d_w%d_h%d" % (
-            opt.cascadeLevel, opt.imWidth, opt.imHeight
-        )
     else:
-        exp = "check_" + kind
+        exp = default_experiment_name(opt, kind)
     os.makedirs(exp, exist_ok=True)
     snapshot_source(exp)
     return exp
@@ -88,7 +103,15 @@ def enable_compile_cache(path: str = "~/.cache/irois_xla_cache"):
     server-side without the compile service's fast path — measured 490 s
     vs 7-105 s on the fused SG kernel)."""
     try:
-        if jax.default_backend() == "axon":
+        # default_backend() reports "tpu" even on the tunnel, so the
+        # guard must key on the PLATFORM REGISTRATION (the env var
+        # and/or the jax_platforms config the axon sitecustomize sets)
+        platforms = " ".join(
+            str(x)
+            for x in (os.environ.get("JAX_PLATFORMS", ""),
+                      getattr(jax.config, "jax_platforms", "") or "")
+        ).lower()
+        if "axon" in platforms:
             return
         jax.config.update(
             "jax_compilation_cache_dir", osp.expanduser(path)

@@ -41,8 +41,8 @@ def load_frozen_light(opt, rng, light_nets):
     naming_offset = getattr(opt, "trainOffset", None)
     if naming_offset is None:
         naming_offset = getattr(opt, "offset", 1.0)
-    exp = opt.lightExperiment or "check_cascadeLight%d_sg%d_offset%.1f" % (
-        opt.cascadeLevel, opt.SGNum, naming_offset
+    exp = opt.lightExperiment or common.default_experiment_name(
+        opt, "light", offset=naming_offset
     )
     epoch = opt.lightEpoch
     if epoch is None:

@@ -98,8 +98,10 @@ def load_stack(opt):
         k1, k2, rng = jax.random.split(rng, 3)
         brdf = BRDFNets(cascade_level=lvl, compute_dtype=opt.computeDtype)
         bp = brdf.init(k1, (opt.imHeight, opt.imWidth))
+        from inverserenderingofindoorscene_tpu.cli import common
+
         exp = getattr(opt, f"experimentBRDF{lvl}") or (
-            "check_cascade%d_w%d_h%d" % (lvl, opt.imWidth, opt.imHeight)
+            common.default_experiment_name(opt, "brdf", cascade=lvl)
         )
         ep = opt.epochBRDF
         if ep is None:
@@ -117,7 +119,8 @@ def load_stack(opt):
         )
         lp = light.init(k2)
         exp = getattr(opt, f"experimentLight{lvl}") or (
-            "check_cascadeLight%d_sg%d_offset1.0" % (lvl, opt.SGNum)
+            common.default_experiment_name(opt, "light", offset=1.0,
+                                           cascade=lvl)
         )
         ep = opt.epochLight
         if ep is None:
@@ -292,9 +295,10 @@ def load_bs_params(opt):
     )
     from inverserenderingofindoorscene_tpu.utils import checkpoint as ckpt
 
-    exp = opt.bsExperiment or (
-        "checkBs_cascade%d_w%d_h%d" % (opt.level - 1, opt.imWidth,
-                                       opt.imHeight)
+    from inverserenderingofindoorscene_tpu.cli import common
+
+    exp = opt.bsExperiment or common.default_experiment_name(
+        opt, "bs", cascade=opt.level - 1
     )
     ep = opt.bsEpoch
     if ep is None:

@@ -28,7 +28,6 @@ import os.path as osp
 import numpy as np
 
 import jax
-import jax.numpy as jnp
 
 from inverserenderingofindoorscene_tpu.cli import common
 from inverserenderingofindoorscene_tpu.cli.output_brdf_light import (
@@ -81,9 +80,8 @@ def _depth_viz(d):
 class _ErrLog:
     """testingLog + per-iteration error record (testBRDF.py:126-316)."""
 
-    def __init__(self, test_root, epoch, two_col=False):
+    def __init__(self, test_root, epoch):
         self.epoch = epoch
-        self.two_col = two_col
         self.rows = {}
         self.fh = open(
             osp.join(test_root, f"testingLog_{epoch}.txt"), "w"
@@ -96,7 +94,7 @@ class _ErrLog:
         return txt
 
     def record(self, j, errors: dict):
-        """errors: name -> scalar or [raw, bs] pair for two_col."""
+        """errors: name -> scalar, or a [raw, bs] pair (bilateral stage)."""
         for name, v in errors.items():
             row = np.atleast_1d(np.asarray(v, np.float32))
             self.rows.setdefault(name, []).append(row)
@@ -118,9 +116,19 @@ class _ErrLog:
             )
 
     def means(self):
-        return {
-            k: float(np.mean(np.stack(v))) for k, v in self.rows.items()
-        }
+        """Per-key accumulated means; two-column [raw, refined] records
+        (the bilateral stage, testBRDFBilateral.py:179-183) keep their
+        columns as separate {name}_raw / {name}_bs entries instead of
+        averaging physically different quantities together."""
+        out = {}
+        for k, v in self.rows.items():
+            acc = np.mean(np.stack(v), axis=0)
+            if acc.size == 2:
+                out[f"{k}_raw"] = float(acc[0])
+                out[f"{k}_bs"] = float(acc[1])
+            else:
+                out[k] = float(np.mean(acc))
+        return out
 
 
 def main(argv=None):
@@ -137,8 +145,7 @@ def main(argv=None):
         if epoch is None:
             epoch = ckpt.latest_epoch(
                 opt.brdfExperiment
-                or "check_cascade%d_w%d_h%d"
-                % (opt.cascadeLevel, opt.imWidth, opt.imHeight),
+                or common.default_experiment_name(opt, "brdf"),
                 "brdf", opt.cascadeLevel,
             )
 
@@ -162,8 +169,9 @@ def main(argv=None):
         if epoch is None:
             epoch = ckpt.latest_epoch(
                 opt.lightExperiment
-                or "check_cascadeLight%d_sg%d_offset%.1f"
-                % (opt.cascadeLevel, opt.SGNum, opt.trainOffset),
+                or common.default_experiment_name(
+                    opt, "light", offset=opt.trainOffset
+                ),
                 "light", opt.cascadeLevel,
             )
 
@@ -184,9 +192,7 @@ def main(argv=None):
     else:
         bs_nets = BilateralNets()
         bs_params = bs_nets.init(k2, (opt.imHeight, opt.imWidth))
-        exp = opt.bsExperiment or "checkBs_cascade%d_w%d_h%d" % (
-            opt.cascadeLevel, opt.imWidth, opt.imHeight
-        )
+        exp = opt.bsExperiment or common.default_experiment_name(opt, "bs")
         epoch = opt.bsEpoch
         if epoch is None:
             epoch = ckpt.latest_epoch(exp, "bs", opt.cascadeLevel)
@@ -209,7 +215,7 @@ def main(argv=None):
                                     shuffle=False)
 
     epoch = epoch if epoch is not None else 0
-    elog = _ErrLog(test_root, epoch, two_col=(opt.stage == "bilateral"))
+    elog = _ErrLog(test_root, epoch)
 
     for j, np_batch in enumerate(loader):
         if opt.maxSteps is not None and j >= opt.maxSteps:

@@ -44,9 +44,7 @@ def parse_args(argv=None):
 def load_frozen_brdf(opt, rng):
     nets = BRDFNets(cascade_level=opt.cascadeLevel)
     params = nets.init(rng, (opt.imHeight, opt.imWidth))
-    exp = opt.brdfExperiment or "check_cascade%d_w%d_h%d" % (
-        opt.cascadeLevel, opt.imWidth, opt.imHeight
-    )
+    exp = opt.brdfExperiment or common.default_experiment_name(opt, "brdf")
     epoch = opt.brdfEpoch
     if epoch is None:
         epoch = ckpt.latest_epoch(exp, "brdf", opt.cascadeLevel)

@@ -80,9 +80,16 @@ def _upsample2x_dwconv(x: jnp.ndarray) -> jnp.ndarray:
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=c,
     )
-    fixh = jnp.ones((2 * h,), x.dtype).at[0].set(4.0 / 3.0).at[-1].set(4.0 / 3.0)
-    fixw = jnp.ones((2 * w,), x.dtype).at[0].set(4.0 / 3.0).at[-1].set(4.0 / 3.0)
-    return y * fixh[None, :, None, None] * fixw[None, None, :, None]
+    # the 4/3 correction runs in f32 even for bf16 inputs: bf16(4/3) is
+    # 1.3359, a one-sided ~0.2% bias on every border pixel; the f32
+    # multiply fuses into the conv epilogue and rounds once at the end
+    fixh = jnp.ones((2 * h,), jnp.float32).at[0].set(4.0 / 3.0)
+    fixh = fixh.at[-1].set(4.0 / 3.0)
+    fixw = jnp.ones((2 * w,), jnp.float32).at[0].set(4.0 / 3.0)
+    fixw = fixw.at[-1].set(4.0 / 3.0)
+    out = y.astype(jnp.float32)
+    out = out * fixh[None, :, None, None] * fixw[None, None, :, None]
+    return out.astype(x.dtype)
 
 
 def resize_bilinear(x: jnp.ndarray, out_hw) -> jnp.ndarray:

@@ -48,7 +48,7 @@ def timeit(fn, *args, iters=10):
 MXU_PEAK = {"bfloat16": 197e12, "float32": 49e12}
 
 
-def build_step(stage, dtype):
+def build_step(stage, dtype, cascade=0):
     from inverserenderingofindoorscene_tpu.data.synthetic import synthetic_batch
     from inverserenderingofindoorscene_tpu.pipeline.brdf import BRDFNets
     from inverserenderingofindoorscene_tpu.pipeline.light import LightNets
@@ -60,9 +60,10 @@ def build_step(stage, dtype):
     )
 
     if stage == "brdf":
-        nets = BRDFNets(cascade_level=0, compute_dtype=dtype)
+        nets = BRDFNets(cascade_level=cascade, compute_dtype=dtype)
         params = nets.init(jax.random.PRNGKey(0), (240, 320))
-        batch = synthetic_batch(batch=16, im_hw=(240, 320), env_rc=(120, 160))
+        batch = synthetic_batch(batch=16, im_hw=(240, 320),
+                                env_rc=(120, 160), cascade_level=cascade)
         step = jax.jit(make_brdf_train_step(nets), donate_argnums=(0,))
         state = create_train_state(params, reference_adam(1e-4))
         return step, state, batch
@@ -76,22 +77,24 @@ def build_step(stage, dtype):
 
         # reference operating point: batch 2 at 240x320
         # (trainBRDFBilateral.py:27-28)
-        brdf_nets = BRDFNets(cascade_level=0, compute_dtype=dtype)
+        brdf_nets = BRDFNets(cascade_level=cascade, compute_dtype=dtype)
         bs_nets = BilateralNets()
         bp = brdf_nets.init(jax.random.PRNGKey(0), (240, 320))
         sp = bs_nets.init(jax.random.PRNGKey(1), (240, 320))
-        batch = synthetic_batch(batch=2, im_hw=(240, 320), env_rc=(120, 160))
+        batch = synthetic_batch(batch=2, im_hw=(240, 320),
+                                env_rc=(120, 160), cascade_level=cascade)
         step = jax.jit(
             make_bilateral_train_step(brdf_nets, bs_nets, bp),
             donate_argnums=(0,),
         )
         state = create_train_state(sp, reference_adam(1e-4))
         return step, state, batch
-    brdf_nets = BRDFNets(cascade_level=0, compute_dtype=dtype)
-    light_nets = LightNets(cascade_level=0, compute_dtype=dtype)
+    brdf_nets = BRDFNets(cascade_level=cascade, compute_dtype=dtype)
+    light_nets = LightNets(cascade_level=cascade, compute_dtype=dtype)
     bp = brdf_nets.init(jax.random.PRNGKey(0), (240, 320))
     lp = light_nets.init(jax.random.PRNGKey(1))
-    batch = synthetic_batch(batch=5, im_hw=(240, 320), env_rc=(120, 160))
+    batch = synthetic_batch(batch=5, im_hw=(240, 320), env_rc=(120, 160),
+                            cascade_level=cascade)
     step = jax.jit(
         make_light_train_step(brdf_nets, light_nets, bp, use_pallas=True),
         donate_argnums=(0,),
@@ -174,6 +177,7 @@ def attribute_trace(logdir):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--stage", default="both")
+    ap.add_argument("--cascade", type=int, default=0)
     ap.add_argument("--dtype", default="both")
     ap.add_argument("--trace", action="store_true")
     ap.add_argument("--logdir", default="/tmp/step_trace")
@@ -185,7 +189,7 @@ def main():
     )
     for stage in stages:
         for dtype in dtypes:
-            step, state, batch = build_step(stage, dtype)
+            step, state, batch = build_step(stage, dtype, opt.cascade)
             flops = cost_flops(step, state, batch)
             # donated state: rebuild per timing call chain
             state2, _ = step(state, batch)

@@ -213,15 +213,19 @@ def test_test_real_cli(dataset, tmp_path):
     assert any("albedoBs1.png" in f for f in files), files
 
     # the fused-kernel inference branch (interpret-mode on CPU): same
-    # products, numerically close to the jnp path
+    # run configuration, envmaps numerically matching the jnp path.
+    # Normalizing by the mean cancels the cLight global scale, whose
+    # data-dependent branch could flip on tiny numeric differences.
     outdir2 = tmp_path / "out_pallas"
     test_real.main([
         "--imList", str(im_list), "--output", str(outdir2),
-        "--level", "1", "--isLight", "--usePallas",
+        "--level", "2", "--isLight", "--usePallas",
         "--imHeight", str(IM_HW[0]), "--imWidth", str(IM_HW[1]),
         "--envRow", str(ENV_RC[0]), "--envCol", str(ENV_RC[1]),
     ])
     env_jnp = np.load(outdir / "real_env1.npz")["data"]
-    env_pal = np.load(outdir2 / "real_env0.npz")["data"]
+    env_pal = np.load(outdir2 / "real_env1.npz")["data"]
     assert env_pal.shape == env_jnp.shape
-    assert np.isfinite(env_pal).all()
+    np.testing.assert_allclose(
+        env_pal / env_pal.mean(), env_jnp / env_jnp.mean(), atol=1e-3
+    )
