@@ -92,16 +92,20 @@ def _pack_widths(h, w, sigma_spatial, sigma_luma, sigma_chroma):
     return bx, by, blm, bu, bv
 
 
-def _packed_coords(image_rgb, sigma_spatial, sigma_luma, sigma_chroma):
+def _packed_coords(image_rgb, sigma_spatial, sigma_luma, sigma_chroma,
+                   widths=None):
     """Pixel -> packed (key1, key2) int32 grid coords (BilateralGrid.py:46-59
     semantics: floor-divided XYLUV), flattened [N] each.
 
     image_rgb: [H, W, 3] in the 0..255 range (callers multiply by 255 like
-    BilateralLayer.py:52).
+    BilateralLayer.py:52).  ``widths``: the caller's `_pack_widths` result
+    (build_grid passes its own so the pixel packing and the neighbor-join
+    deltas can never desynchronize).
     """
     h, w = image_rgb.shape[:2]
-    _, by, _, bu, bv = _pack_widths(h, w, sigma_spatial, sigma_luma,
-                                    sigma_chroma)
+    _, by, _, bu, bv = widths if widths is not None else _pack_widths(
+        h, w, sigma_spatial, sigma_luma, sigma_chroma
+    )
     yuv = image_rgb @ jnp.asarray(RGB_TO_YUV.T, image_rgb.dtype) + jnp.asarray(
         YUV_OFFSET, image_rgb.dtype
     )
@@ -131,10 +135,10 @@ def build_grid(
 ) -> BilateralGrid:
     """Build the grid for one [H, W, 3] image (values scaled to 0..255)."""
     h, w = image_rgb.shape[:2]
-    _, by, _, bu, bv = _pack_widths(h, w, sigma_spatial, sigma_luma,
-                                    sigma_chroma)
+    widths = _pack_widths(h, w, sigma_spatial, sigma_luma, sigma_chroma)
+    _, by, _, bu, bv = widths
     k1, k2 = _packed_coords(
-        image_rgb, sigma_spatial, sigma_luma, sigma_chroma
+        image_rgb, sigma_spatial, sigma_luma, sigma_chroma, widths=widths
     )
     n = k1.shape[0]
 
@@ -144,15 +148,22 @@ def build_grid(
     is_new = (s1 != jnp.roll(s1, 1)) | (s2 != jnp.roll(s2, 1))
     is_new = is_new.at[0].set(True)
     vid_sorted = jnp.cumsum(is_new.astype(jnp.int32)) - 1
+    # Capacity clamp: cells beyond v_max all merge into the LAST vertex.
+    # The default capacity (one vertex per pixel, BilateralNets.v_max
+    # None -> H*W) can never overflow; a user-set smaller v_max trades
+    # exactness at that one vertex for speed.  The min/max scatters below
+    # keep the merged vertex's key (and thus the whole grid) DETERMINISTIC
+    # even then: for legitimate duplicates every write carries the same
+    # value, so min/max == set.
     vid_sorted = jnp.minimum(vid_sorted, v_max - 1)
     nvert = vid_sorted[-1] + 1
 
     # pixel -> vertex (scatter back to original pixel order)
     vert_of_pixel = jnp.zeros((n,), jnp.int32).at[pix_idx].set(vid_sorted)
 
-    # vertex -> packed keys (duplicates write identical values)
-    vk1 = jnp.full((v_max,), _SENT_REAL, jnp.int32).at[vid_sorted].set(s1)
-    vk2 = jnp.zeros((v_max,), jnp.int32).at[vid_sorted].set(s2)
+    # vertex -> packed keys
+    vk1 = jnp.full((v_max,), _SENT_REAL, jnp.int32).at[vid_sorted].min(s1)
+    vk2 = jnp.zeros((v_max,), jnp.int32).at[vid_sorted].max(s2)
     vidx = jnp.arange(v_max, dtype=jnp.int32)
     valid = (vidx < nvert).astype(jnp.float32)
     invalid = valid < 0.5
@@ -294,33 +305,44 @@ def bistochastize(grid: BilateralGrid, maxiter: int = 10):
 
 
 def _pcg(a_fn, b, y0, a_diag, maxiter, tol):
-    """Jacobi-preconditioned CG with scipy-style rtol stopping (masked)."""
+    """Jacobi-preconditioned CG with scipy-style rtol stopping (masked).
+
+    The reference solves each channel with its OWN scipy CG
+    (BilateralGrid.py:146-150 loops channels).  Here the channels share
+    the batched [V, C] blur/matvec (the gathers are the cost and are
+    row-count-bound, so batching them is 3x cheaper than per-channel
+    solves) but every CG SCALAR is a per-channel [C] vector — alpha,
+    beta, residual norms, and the convergence mask — which makes the
+    iterates exactly the independent per-channel Krylov sequences of the
+    reference, not one shared polynomial tuned to the dominant channel."""
     minv = 1.0 / a_diag  # [V]
 
     def prec(r):
         return r * minv[:, None]
 
+    def csum(x):  # per-channel sums [C]
+        return jnp.sum(x, axis=0)
+
     r0 = b - a_fn(y0)
     z0 = prec(r0)
-    bnorm = jnp.sqrt(jnp.sum(b * b))
-    atol = jnp.maximum(tol * bnorm, 0.0)
+    atol = jnp.maximum(tol * jnp.sqrt(csum(b * b)), 0.0)  # [C]
 
     def body(_, state):
         y, r, z, p, rz = state
-        done = jnp.sqrt(jnp.sum(r * r)) <= atol
+        done = jnp.sqrt(csum(r * r)) <= atol  # [C]
         ap = a_fn(p)
-        denom = jnp.sum(p * ap)
+        denom = csum(p * ap)
         alpha = jnp.where(jnp.abs(denom) > 0, rz / denom, 0.0)
-        alpha = jnp.where(done, 0.0, alpha)
+        alpha = jnp.where(done, 0.0, alpha)  # [C]
         y = y + alpha * p
         r = r - alpha * ap
         z = prec(r)
-        rz_new = jnp.sum(r * z)
+        rz_new = csum(r * z)
         beta = jnp.where(jnp.abs(rz) > 0, rz_new / rz, 0.0)
         p = jnp.where(done, p, z + beta * p)
         return (y, r, z, p, rz_new)
 
-    state = (y0, r0, z0, z0, jnp.sum(r0 * z0))
+    state = (y0, r0, z0, z0, csum(r0 * z0))
     y, *_ = jax.lax.fori_loop(0, maxiter, body, state)
     return y
 

@@ -350,6 +350,14 @@ def render_sg(
     axis [B,H,W,K,3], lamb [B,H,W,K] (physical sharpness),
     weight [B,H,W,K,3] (physical amplitude).
     Returns (diffuse, specular) [B,H,W,3].
+
+    PRECONDITION: |normal| <= 1 per pixel.  The in-kernel algebra uses
+    the half-vector identity |h|^2 = (1+v.l)/2, which assumes |l| = 1;
+    the models.py:480 clamp keeps that exact only while |n| <= 1
+    (|l|^2 = 1 + lz'^2(|n|^2-1)).  Every producer satisfies this — the
+    normal decoder head L2-normalizes and average-pooling unit vectors
+    only shrinks them — but specular output for |n| > 1 diverges from
+    ``core.brdf.render_envmap`` by O(1).
     """
     b, h, w = albedo.shape[:3]
     n = b * h * w
@@ -427,10 +435,8 @@ def _env_bwd_kernel(consts, ax, lam, wgt_in, gr, gg, gb, dax, dlam, dwgt):
 
 
 def _env_plane_specs(d, n_heights):
-    return [
-        pl.BlockSpec((d, TILE_P), lambda i: (0, i), memory_space=pltpu.VMEM)
-        for _ in range(n_heights)
-    ]
+    """[d, TILE_P] planes striding over pixels — `_cm_specs([d]*n)`."""
+    return _cm_specs([d] * n_heights)
 
 
 def _env_run_fwd(axis, lamb, weight, env_hw, interpret):
