@@ -69,6 +69,10 @@ def parse_args(argv=None):
                    help="trained confidence-CNN checkpoint dir; unit "
                         "confidence if absent")
     p.add_argument("--bsEpoch", type=int, default=None)
+    p.add_argument("--vMax", default="auto",
+                   help="bilateral vertex capacity: 'auto' (exact "
+                        "ladder-bucketed dispatch on the counted guide "
+                        "cells), 'full' (one vertex per pixel), or an int")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--computeDtype", default="float32",
                    choices=["float32", "bfloat16"],
@@ -314,44 +318,95 @@ def load_bs_params(opt):
     return state.params
 
 
-def refine_bs(im, preds, bs_params=None):
-    """Bilateral refinement of albedo/rough/depth (testReal.py:532-540).
-
-    With trained confidence CNNs when a checkpoint is available; unit
-    confidence otherwise."""
+def bs_prep(im, preds, bs_params=None):
+    """The jittable prefix of the refinement: max-normalized guide
+    (BilateralLayer.py:250-253), per-mode targets and confidences (trained
+    CNNs when a checkpoint is available, unit confidence otherwise).
+    Returns (guide, targets dict, confs dict)."""
     h, w = im.shape[1:3]
-    # max-normalize the guide like the reference (BilateralLayer.py:250-253)
     guide = preds["albedo"]
     gmax = jnp.clip(jnp.max(guide), 1e-5, 1.0)
     guide = guide / gmax
+    targets = {
+        "albedo": preds["albedo"],
+        "rough": 0.5 * (preds["rough"] + 1.0),
+        "depth": preds["depth"],
+    }
     if bs_params is None:
         ones = jnp.ones((1, h, w, 1), jnp.float32)
-        conf_a = conf_r = conf_d = ones
+        confs = {"albedo": ones, "rough": ones, "depth": ones}
     else:
         from inverserenderingofindoorscene_tpu.models.bilateral_net import (
             ConfidenceNet,
         )
 
-        conf_a = ConfidenceNet(6).apply(
-            bs_params["albedo"], im, preds["albedo"]
+        confs = {
+            "albedo": ConfidenceNet(6).apply(
+                bs_params["albedo"], im, targets["albedo"]
+            ),
+            "rough": ConfidenceNet(4).apply(
+                bs_params["rough"], im, targets["rough"]
+            ),
+            "depth": ConfidenceNet(4).apply(
+                bs_params["depth"], im, targets["depth"]
+            ),
+        }
+    return guide, targets, confs
+
+
+# (mode key, MODE_PARAMS id) in solve order
+_BS_MODES = (("albedo", 0), ("rough", 2), ("depth", 4))
+
+
+def refine_bs(im, preds, bs_params=None, v_max=None):
+    """Bilateral refinement of albedo/rough/depth (testReal.py:532-540).
+
+    ``v_max``: static vertex capacity; None = one per pixel (exact worst
+    case). Exact smaller capacities: see BucketedSolver / --vMax auto."""
+    h, w = im.shape[1:3]
+    v_max = v_max or (h * w)
+    guide, targets, confs = bs_prep(im, preds, bs_params)
+    out = {
+        k: bilateral_solve(guide, targets[k], confs[k], MODE_PARAMS[m], v_max)
+        for k, m in _BS_MODES
+    }
+    out["rough"] = jnp.clip(2.0 * out["rough"] - 1.0, -1.0, 1.0)
+    return out
+
+
+def make_bs_fn(bs_params, v_max_opt):
+    """The per-image refinement callable for the driver.
+
+    v_max_opt: "full" (one vertex per pixel), "auto" (count the guide's
+    occupied cells, dispatch to a ladder-bucketed compile — exact, but far
+    fewer gather/sort rows on smooth guides), or an int capacity."""
+    if v_max_opt != "auto":
+        v_max = None if v_max_opt == "full" else int(v_max_opt)
+        jit_bs = jax.jit(
+            lambda bsp, im, preds: refine_bs(im, preds, bsp, v_max)
         )
-        conf_r = ConfidenceNet(4).apply(
-            bs_params["rough"], im, 0.5 * (preds["rough"] + 1.0)
-        )
-        conf_d = ConfidenceNet(4).apply(
-            bs_params["depth"], im, preds["depth"]
-        )
-    albedo = bilateral_solve(
-        guide, preds["albedo"], conf_a, MODE_PARAMS[0], h * w
+        return functools.partial(jit_bs, bs_params)
+
+    from inverserenderingofindoorscene_tpu.ops.bilateral import (
+        BucketedSolver,
     )
-    rough01 = bilateral_solve(
-        guide, 0.5 * (preds["rough"] + 1.0), conf_r, MODE_PARAMS[2], h * w
-    )
-    rough = jnp.clip(2.0 * rough01 - 1.0, -1.0, 1.0)
-    depth = bilateral_solve(
-        guide, preds["depth"], conf_d, MODE_PARAMS[4], h * w
-    )
-    return {"albedo": albedo, "rough": rough, "depth": depth}
+
+    jit_prep = jax.jit(lambda bsp, im, preds: bs_prep(im, preds, bsp))
+    post_rough = jax.jit(lambda x: jnp.clip(2.0 * x - 1.0, -1.0, 1.0))
+    solver = BucketedSolver()
+    mode_params = tuple(MODE_PARAMS[m] for _, m in _BS_MODES)
+
+    def bs_fn(im, preds):
+        guide, targets, confs = jit_prep(bs_params, im, preds)
+        nv = solver.counts(guide, mode_params)
+        out = {
+            k: solver.solve(guide, targets[k], confs[k], p, n)
+            for (k, _), p, n in zip(_BS_MODES, mode_params, nv)
+        }
+        out["rough"] = post_rough(out["rough"])
+        return out
+
+    return bs_fn
 
 
 def main(argv=None):
@@ -421,10 +476,7 @@ def main(argv=None):
     bs_params = load_bs_params(opt) if opt.isBS else None
     if bs_params is not None:
         bs_params = jax.device_put(bs_params)
-    jit_bs = jax.jit(
-        lambda bsp, im, preds: refine_bs(im, preds, bsp)
-    )
-    jit_bs = functools.partial(jit_bs, bs_params)
+    jit_bs = make_bs_fn(bs_params, opt.vMax)
 
     for im_path in im_list:
         name = osp.splitext(osp.basename(im_path))[0]

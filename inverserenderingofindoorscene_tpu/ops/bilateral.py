@@ -490,3 +490,90 @@ def _bs_bwd(params, v_max, res, g):
 
 
 bilateral_solve.defvjp(_bs_fwd, _bs_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Exact auto-capacity dispatch
+#
+# `v_max` is a STATIC shape: the default one-vertex-per-pixel upper bound
+# (H*W = 76 800 at the reference's 240x320) can never overflow, but every
+# gather/sort row in the solver scales with it, and real guides occupy far
+# fewer grid cells.  Counting the occupied cells costs one extra 2-key sort
+# of the pixels; rounding the count UP to a capacity from a small static
+# ladder keeps the number of distinct jit signatures bounded while the
+# solve itself runs at (near) the true vertex count.  Results are EXACT:
+# whenever nvert <= v_max no cells merge, and the padded rows are inert by
+# construction (splat writes only real vertices, neighbor joins hide
+# invalid queries), so a bucketed solve equals the full-capacity solve up
+# to reduction order.
+# ---------------------------------------------------------------------------
+
+
+def count_vertices(guide_rgb01: jnp.ndarray, params: BSParams) -> jnp.ndarray:
+    """Occupied-grid-cell count per image for a [B, H, W, 3] guide in 0..1
+    (scaled *255 internally like the solve itself). Returns [B] int32."""
+
+    def one(img):
+        k1, k2 = _packed_coords(
+            img * 255.0, params.sigma_spatial, params.sigma_luma,
+            params.sigma_chroma,
+        )
+        s1, s2 = jax.lax.sort([k1, k2], num_keys=2)
+        is_new = (s1 != jnp.roll(s1, 1)) | (s2 != jnp.roll(s2, 1))
+        is_new = is_new.at[0].set(True)
+        return jnp.sum(is_new.astype(jnp.int32))
+
+    return jax.vmap(one)(guide_rgb01)
+
+
+def bucket_capacity(nvert: int, n_pixels: int,
+                    ladder=(16, 8, 4, 2, 1)) -> int:
+    """Smallest capacity from the static ladder {ceil(N/k)} that holds
+    ``nvert`` (falls back to one-vertex-per-pixel)."""
+    for k in ladder:
+        cap = -(-n_pixels // k)
+        if cap >= nvert:
+            return cap
+    return n_pixels
+
+
+class BucketedSolver:
+    """jit-cache wrapper around :func:`bilateral_solve` with exact
+    auto-capacity: count on device, round up to a ladder bucket, dispatch
+    to the per-(params, capacity) compiled solve.
+
+    Each distinct (params, bucket) pair compiles once; the count is one
+    small jitted sort per distinct params.  Use :meth:`counts` to batch
+    the device->host sync when several modes share one guide (the
+    testReal chain runs albedo/rough/depth off the same albedo guide)."""
+
+    def __init__(self, ladder=(16, 8, 4, 2, 1)):
+        self.ladder = tuple(ladder)
+        self._count = {}
+        self._solve = {}
+
+    def counts(self, guide, params_seq) -> list:
+        """Max-over-batch vertex count for each params in one jit call."""
+        key = tuple(params_seq)
+        if key not in self._count:
+            self._count[key] = jax.jit(
+                lambda g: jnp.stack(
+                    [jnp.max(count_vertices(g, p)) for p in key]
+                )
+            )
+        return [int(v) for v in np.asarray(self._count[key](guide))]
+
+    def solve(self, guide, target, conf, params: BSParams, nvert: int):
+        n_pixels = guide.shape[1] * guide.shape[2]
+        cap = bucket_capacity(nvert, n_pixels, self.ladder)
+        sk = (params, cap)
+        if sk not in self._solve:
+            # positional call: custom_vjp nondiff_argnums reject keywords
+            self._solve[sk] = jax.jit(
+                lambda g, t, c, p=params, v=cap: bilateral_solve(g, t, c, p, v)
+            )
+        return self._solve[sk](guide, target, conf)
+
+    def __call__(self, guide, target, conf, params: BSParams):
+        (nvert,) = self.counts(guide, (params,))
+        return self.solve(guide, target, conf, params, nvert)

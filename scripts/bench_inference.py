@@ -34,6 +34,8 @@ def fence(out):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--no-bs", action="store_true")
+    ap.add_argument("--v-max", default="full",
+                    help="bilateral vertex capacity: 'full', 'auto', or int")
     ap.add_argument("--use-pallas", action="store_true")
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "bfloat16"])
@@ -46,9 +48,9 @@ def main():
     opt = ap.parse_args()
 
     from inverserenderingofindoorscene_tpu.cli.test_real import (
+        make_bs_fn,
         predict_brdf,
         predict_light_core,
-        refine_bs,
     )
     from inverserenderingofindoorscene_tpu.core.imageops import (
         adaptive_avg_pool,
@@ -108,7 +110,7 @@ def main():
         )
         return preds1, light1
 
-    jit_bs = jax.jit(lambda im, preds: refine_bs(im, preds, None))
+    jit_bs = make_bs_fn(None, opt.v_max)
     bp0, lp0, bp1, lp1 = jax.device_put((bp0, lp0, bp1, lp1))
 
     def chain(im):
@@ -136,7 +138,10 @@ def main():
     ms = (time.perf_counter() - t0) / opt.iters / opt.batch * 1e3
     tag = ("full chain (2 cascades + light + BS)" if not opt.no_bs else
            "2 cascades + light (no BS)")
-    tag += f" [B{opt.batch} {opt.dtype}{', pallas' if use_pallas else ''}]"
+    tag += f" [B{opt.batch} {opt.dtype}{', pallas' if use_pallas else ''}"
+    if not opt.no_bs:
+        tag += f", vMax={opt.v_max}"
+    tag += "]"
     print(f"{tag}: {ms:.1f} ms/image  ({1e3 / ms:.2f} images/s/chip)",
           flush=True)
 

@@ -153,6 +153,49 @@ def test_conf_grad_finite():
     assert float(jnp.abs(g).max()) > 0
 
 
+def test_count_vertices_matches_oracle(grids):
+    im, oracle, _ = grids
+    # grids fixture: sigma_spatial=6, sigma_luma=8, sigma_chroma=8;
+    # count_vertices takes the 0..1 guide and scales *255 itself.
+    params = bl.BSParams(8.0, 8.0, 6.0, 50.0)
+    nv = jax.jit(lambda g: bl.count_vertices(g, params))(
+        jnp.asarray(im[None], jnp.float32)
+    )
+    assert int(nv[0]) == oracle.nvertices
+
+
+def test_bucket_capacity_ladder():
+    assert bl.bucket_capacity(1, 768) == 48  # ceil(768/16)
+    assert bl.bucket_capacity(48, 768) == 48
+    assert bl.bucket_capacity(49, 768) == 96
+    assert bl.bucket_capacity(767, 768) == 768
+    assert bl.bucket_capacity(768, 768) == 768
+
+
+def test_bucketed_solver_exact():
+    """Auto-capacity dispatch must equal the full one-vertex-per-pixel
+    solve (padded rows are inert; only reduction order differs)."""
+    rng = np.random.RandomState(7)
+    # strongly quantized guide + wide sigmas -> lands in a sub-full bucket
+    im = np.round(rng.rand(H, W, 3) * 2) / 2.0
+    feature = jnp.asarray(im[None], jnp.float32)
+    target = jnp.asarray(rng.rand(1, H, W, 3), jnp.float32)
+    conf = jnp.asarray(rng.rand(1, H, W, 1) * 0.9 + 0.1, jnp.float32)
+    params = bl.BSParams(16.0, 16.0, 8.0, 50.0, cg_maxiter=12)
+
+    solver = bl.BucketedSolver()
+    (nv,) = solver.counts(feature, (params,))
+    cap = bl.bucket_capacity(nv, N)
+    assert cap < N, (nv, cap)  # the test must exercise a smaller bucket
+    out_auto = solver(feature, target, conf, params)
+    out_full = jax.jit(
+        lambda f, t, c: bl.bilateral_solve(f, t, c, params, N)
+    )(feature, target, conf)
+    np.testing.assert_allclose(
+        np.asarray(out_auto), np.asarray(out_full), rtol=2e-5, atol=2e-5
+    )
+
+
 def test_bilateral_train_step():
     """Full trainBRDFBilateral-equivalent step at tiny resolution."""
     from inverserenderingofindoorscene_tpu.data.synthetic import synthetic_batch
