@@ -29,8 +29,58 @@ def parse_args(argv=None):
     p.add_argument("--brdfExperiment", default=None)
     p.add_argument("--brdfEpoch", type=int, default=None)
     p.add_argument("--resumeEpoch", type=int, default=None)
+    p.add_argument("--vMax", default="full",
+                   help="solver vertex capacity: 'full' (one per pixel), "
+                        "'auto' (count the guide's occupied cells per "
+                        "batch, dispatch to a ladder-bucketed compile of "
+                        "the step — exact, far fewer gather rows, but up "
+                        "to one recompile per bucket), or an int")
     p.set_defaults(batchSize=2, nepoch=1)
     return p.parse_args(argv)
+
+
+def _auto_vmax_dispatch(opt, brdf_nets, brdf_params, jit_step):
+    """Per-batch exact capacity selection for the train step.
+
+    The guide (detached max-normalized albedo prediction) depends only on
+    the frozen BRDF nets, so one small extra jitted forward counts the
+    occupied grid cells for the three modes and the batch dispatches to a
+    step compiled at the smallest ladder capacity that holds them — exact
+    (no cells merge) with a bounded number of step compiles."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from inverserenderingofindoorscene_tpu.ops.bilateral import (
+        MODE_PARAMS,
+        bucket_capacity,
+        count_vertices,
+    )
+    from inverserenderingofindoorscene_tpu.pipeline.bilateral import (
+        normalized_guide,
+    )
+    from inverserenderingofindoorscene_tpu.pipeline.brdf import brdf_forward
+
+    mode_params = tuple(MODE_PARAMS[m] for m in (0, 2, 4))
+    n_pixels = opt.imHeight * opt.imWidth
+
+    @jax.jit
+    def jit_counts(batch):
+        preds = brdf_forward(brdf_nets, brdf_params, batch)
+        guide = normalized_guide(preds["albedo"])
+        return jnp.stack(
+            [jnp.max(count_vertices(guide, p)) for p in mode_params]
+        )
+
+    steps = {}
+
+    def step_fn(state, batch):
+        nvert = int(np.asarray(jit_counts(batch)).max())
+        cap = bucket_capacity(nvert, n_pixels)
+        if cap not in steps:
+            steps[cap] = jit_step(BilateralNets(v_max=cap))
+        return steps[cap](state, batch)
+
+    return step_fn
 
 
 def main(argv=None):
@@ -55,14 +105,22 @@ def main(argv=None):
                                         state)
         start_epoch = resume + 1
 
-    step_fn = jax.jit(
-        make_bilateral_train_step(
-            brdf_nets, bs_nets, brdf_params,
-            albedo_w=opt.albedoWeight, rough_w=opt.roughWeight,
-            depth_w=opt.depthWeight,
-        ),
-        donate_argnums=(0,),
-    )
+    def jit_step(nets):
+        return jax.jit(
+            make_bilateral_train_step(
+                brdf_nets, nets, brdf_params,
+                albedo_w=opt.albedoWeight, rough_w=opt.roughWeight,
+                depth_w=opt.depthWeight,
+            ),
+            donate_argnums=(0,),
+        )
+
+    if opt.vMax == "auto":
+        step_fn = _auto_vmax_dispatch(opt, brdf_nets, brdf_params, jit_step)
+    else:
+        if opt.vMax != "full":
+            bs_nets = BilateralNets(v_max=int(opt.vMax))
+        step_fn = jit_step(bs_nets)
 
     logger = MetricLogger(f"{exp}/trainingLog.txt")
     for epoch in range(start_epoch, opt.nepoch):

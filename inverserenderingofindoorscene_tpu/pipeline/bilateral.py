@@ -56,6 +56,18 @@ class BilateralNets:
         return jax.jit(_init)(rng)
 
 
+def normalized_guide(albedo_pred: jnp.ndarray) -> jnp.ndarray:
+    """The solver's grid guide: the detached albedo prediction,
+    max-normalized per image like the reference (BilateralLayer.py:250-253:
+    feature / clamp(max(feature), 1e-5, 1))."""
+    guide = jax.lax.stop_gradient(albedo_pred)
+    b = guide.shape[0]
+    gmax = jnp.clip(
+        jnp.max(guide.reshape(b, -1), axis=1), 1e-5, 1.0
+    ).reshape(b, 1, 1, 1)
+    return guide / gmax
+
+
 def refine(
     nets: BilateralNets,
     params: dict,
@@ -72,15 +84,7 @@ def refine(
     The grid guide (``feature``) is always the detached albedo prediction.
     """
     v_max = nets.v_max or (im.shape[1] * im.shape[2])
-    # The guide ("feature") is max-normalized per image before the grid is
-    # built, like the reference (BilateralLayer.py:250-253:
-    # feature / clamp(max(feature), 1e-5, 1)).
-    guide = jax.lax.stop_gradient(preds["albedo"])
-    b = guide.shape[0]
-    gmax = jnp.clip(
-        jnp.max(guide.reshape(b, -1), axis=1), 1e-5, 1.0
-    ).reshape(b, 1, 1, 1)
-    guide = guide / gmax
+    guide = normalized_guide(preds["albedo"])
     modules = nets.nets
 
     conf_a = modules["albedo"].apply(params["albedo"], im, preds["albedo"])

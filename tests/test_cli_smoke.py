@@ -143,6 +143,20 @@ def test_train_light_cli(dataset, tmp_path):
     assert osp.isfile(osp.join(troot, "0_imRendered.png"))
 
 
+def test_train_bilateral_cli_auto_vmax(dataset, tmp_path):
+    """Bilateral stage driver end-to-end with the per-batch exact
+    auto-capacity dispatch (--vMax auto)."""
+    from inverserenderingofindoorscene_tpu.cli import train_bilateral
+
+    exp = str(tmp_path / "exp_bs")
+    train_bilateral.main(
+        _args(dataset, ["--experiment", exp, "--vMax", "auto"])
+    )
+    from inverserenderingofindoorscene_tpu.utils import checkpoint as ckpt
+
+    assert ckpt.latest_epoch(exp, "bs", 0) == 0
+
+
 def test_output_and_cascade1_roundtrip(dataset, tmp_path):
     """Export cascade-0 intermediates, then load them as a cascade-1 batch."""
     from inverserenderingofindoorscene_tpu.cli import output_brdf_light
