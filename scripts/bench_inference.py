@@ -122,13 +122,46 @@ def main():
             out["refined"] = jit_bs(im, preds1)
         return out
 
+    # Photo-like input: piecewise-smooth base + mild texture.  Conv/light
+    # latency is input-independent, but the bilateral stage's auto
+    # capacity is data-dependent — per-pixel noise (which no real photo
+    # resembles) forces the worst-case one-vertex-per-pixel grid, while a
+    # smooth image exercises the representative buckets.
+    rng_np = np.random.RandomState(0)
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = np.stack(
+        [xx / w, yy / h, 0.5 + 0.3 * np.sin(xx / 40.0) * np.cos(yy / 30.0)],
+        axis=-1,
+    )
+    im_np = np.clip(base + rng_np.randn(h, w, 3) * 0.015, 0.0, 1.0)
     im = jnp.asarray(
-        np.random.RandomState(0).rand(opt.batch, h, w, 3), jnp.float32
+        np.broadcast_to(im_np, (opt.batch, h, w, 3)), jnp.float32
     )
     t0 = time.time()
     print("compiling the full chain ...", flush=True)
-    fence(chain(im))
+    out0 = chain(im)
+    fence(out0)
     print(f"compiled in {time.time() - t0:.0f} s; timing ...", flush=True)
+    if not opt.no_bs and opt.v_max == "auto":
+        from inverserenderingofindoorscene_tpu.cli.test_real import bs_prep
+        from inverserenderingofindoorscene_tpu.ops.bilateral import (
+            MODE_PARAMS,
+            bucket_capacity,
+            count_vertices,
+        )
+
+        @jax.jit
+        def _counts(i, p):
+            g, _, _ = bs_prep(i, p, None)
+            return jnp.stack(
+                [jnp.max(count_vertices(g, MODE_PARAMS[m]))
+                 for m in (0, 2, 4)]
+            )
+
+        nvs = [int(v) for v in np.asarray(_counts(im, out0["preds"]))]
+        caps = [bucket_capacity(n, h * w) for n in nvs]
+        print(f"auto vMax: nvert={nvs} -> buckets={caps} (of {h * w})",
+              flush=True)
     fence(chain(im))
     t0 = time.perf_counter()
     out = None
