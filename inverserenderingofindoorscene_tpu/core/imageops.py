@@ -106,9 +106,15 @@ def resize_bilinear(x: jnp.ndarray, out_hw) -> jnp.ndarray:
     """
     b, h, w, c = x.shape
     oh, ow = int(out_hw[0]), int(out_hw[1])
-    if oh == 2 * h and ow == 2 * w and c >= 32 and b * h * w * c >= 8_000_000:
+    if _use_dwconv_upsample(b, h, w, c, oh, ow):
         return _upsample2x_dwconv(x)
     return jax.image.resize(x, (b, oh, ow, c), method="linear")
+
+
+def _use_dwconv_upsample(b, h, w, c, oh, ow) -> bool:
+    """The measured routing gate of :func:`resize_bilinear` (see its
+    docstring): exact 2x upscale, >=32 channels, >=8M elements."""
+    return oh == 2 * h and ow == 2 * w and c >= 32 and b * h * w * c >= 8_000_000
 
 
 def upsample2x(x: jnp.ndarray) -> jnp.ndarray:

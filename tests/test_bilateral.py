@@ -124,13 +124,15 @@ def test_custom_vjp_matches_reference_equations(grids):
         return jnp.sum(out * gw)
 
     g = jax.jit(jax.grad(loss))(target)
-    # finite differences on a few random pixels
+    # finite differences on a few random pixels (jit the probe: ten
+    # un-jitted op-by-op solver evaluations dominated this test's time)
+    jloss = jax.jit(loss)
     eps = 1e-2
     for _ in range(5):
         i, j, k = rng.randint(H), rng.randint(W), rng.randint(2)
         tp = target.at[0, i, j, k].add(eps)
         tm = target.at[0, i, j, k].add(-eps)
-        fd = (float(loss(tp)) - float(loss(tm))) / (2 * eps)
+        fd = (float(jloss(tp)) - float(jloss(tm))) / (2 * eps)
         np.testing.assert_allclose(
             float(g[0, i, j, k]), fd, rtol=5e-2, atol=5e-3
         )

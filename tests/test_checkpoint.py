@@ -5,7 +5,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from inverserenderingofindoorscene_tpu.pipeline.brdf import BRDFNets
 from inverserenderingofindoorscene_tpu.train.steps import (
     create_train_state,
     reference_adam,
@@ -13,10 +12,23 @@ from inverserenderingofindoorscene_tpu.train.steps import (
 from inverserenderingofindoorscene_tpu.utils import checkpoint as ckpt
 
 
+def _small_params():
+    """A small nested pytree with realistic structure (dict-of-dicts of
+    arrays).  The naming/restore CONTRACT is structure-independent and the
+    real-net restores are exercised by the CLI smoke tests (train_light /
+    test_synthetic load brdf checkpoints); full BRDF trees here only made
+    the fast gate pay ~30 s of orbax serialization."""
+    k = jax.random.PRNGKey(0)
+    return {
+        "encoder": {"conv1": {"kernel": jax.random.normal(k, (3, 3, 3, 8)),
+                              "bias": jnp.zeros((8,))}},
+        "decoder": {"conv1": {"kernel": jax.random.normal(k, (3, 3, 8, 4))}},
+    }
+
+
 def test_roundtrip_and_latest_epoch(tmp_path):
     exp = str(tmp_path / "exp")
-    nets = BRDFNets(cascade_level=0)
-    params = nets.init(jax.random.PRNGKey(0), (32, 32))
+    params = _small_params()
     state = create_train_state(params, reference_adam(1e-4))
 
     assert ckpt.latest_epoch(exp, "brdf", 0) is None
@@ -50,8 +62,7 @@ def test_cross_stage_restore_schedule_vs_constant(tmp_path):
     into a stage that builds its restore target with constant-lr Adam —
     the cross-stage hand-off every loader relies on."""
     exp = str(tmp_path / "exp")
-    nets = BRDFNets(cascade_level=0)
-    params = nets.init(jax.random.PRNGKey(0), (32, 32))
+    params = _small_params()
     trained = create_train_state(
         params, reference_adam(1e-4, epoch_decay_steps=100)
     )

@@ -30,15 +30,23 @@ def test_dwconv_upsample_matches_resize_small():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-6)
 
 
-def test_dwconv_upsample_gate_engages_and_matches():
-    """Above the size gate resize_bilinear routes to the dwconv path;
-    results must match the matmul path it replaces."""
-    rng = np.random.RandomState(1)
-    x = jnp.asarray(rng.randn(4, 120, 160, 128), jnp.float32)
-    assert x.size >= 8_000_000  # the gate threshold
-    ref = jax.image.resize(x, (4, 240, 320, 128), method="linear")
-    got = resize_bilinear(x, (240, 320))
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-6)
+def test_dwconv_upsample_gate_routing():
+    """The routing predicate of resize_bilinear: dwconv only on exact-2x
+    large wide tensors (numeric equality of the fast path is pinned by
+    test_dwconv_upsample_matches_resize_small — same code path, the gate
+    only selects it, so no 32 MB tensors needed here)."""
+    from inverserenderingofindoorscene_tpu.core.imageops import (
+        _use_dwconv_upsample,
+    )
+
+    # the BRDF decoder tail shape the gate was measured on
+    assert _use_dwconv_upsample(4, 120, 160, 128, 240, 320)
+    # light decoders' small B5 tensors stay on the matmul path
+    assert not _use_dwconv_upsample(5, 60, 80, 128, 120, 160)
+    # narrow channels / non-2x / non-integer factors stay off too
+    assert not _use_dwconv_upsample(4, 120, 160, 16, 240, 320)
+    assert not _use_dwconv_upsample(4, 120, 160, 128, 241, 320)
+    assert not _use_dwconv_upsample(4, 120, 160, 128, 120, 160)
 
 
 def test_dwconv_upsample_gradients_match_resize():
