@@ -10,10 +10,12 @@ differentiable bilateral-solver refinement.
 Design stance (not a port):
   * NHWC layouts, pure-functional flax modules, optax optimizers,
     orbax checkpoints.
-  * The two numerically hot differentiable operators (SG -> envmap shading
-    integral; bilateral splat/blur/slice + PCG) are fused Pallas TPU kernels
-    with custom VJPs; pure-jnp implementations serve as the correctness
-    anchor and CPU fallback.
+  * The numerically hot differentiable SG -> envmap shading integral is a
+    fused Pallas TPU kernel family with custom VJPs (pure-jnp
+    implementations serve as the correctness anchor and CPU fallback);
+    the bilateral splat/blur/slice + PCG solver is an optimized on-device
+    XLA program with a custom VJP — measured gather-bound on the scalar
+    core, where a Mosaic kernel cannot win (ablation in BASELINE.md).
   * Parallelism is a single jit'd SPMD program over a jax.sharding.Mesh
     (data x tile axes) instead of the reference's single-process
     nn.DataParallel.

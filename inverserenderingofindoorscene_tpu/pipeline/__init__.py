@@ -4,6 +4,9 @@ from inverserenderingofindoorscene_tpu.pipeline.brdf import (
     brdf_step,
     prepare_cascade_input,
 )
+from inverserenderingofindoorscene_tpu.pipeline.inference import (
+    InverseRenderer,
+)
 from inverserenderingofindoorscene_tpu.pipeline.light import (
     LightNets,
     light_forward,
@@ -11,6 +14,7 @@ from inverserenderingofindoorscene_tpu.pipeline.light import (
 )
 
 __all__ = [
+    "InverseRenderer",
     "BRDFNets",
     "brdf_forward",
     "brdf_step",

@@ -1,0 +1,404 @@
+"""In-the-wild two-cascade inference as a library API (testReal.py chain).
+
+The reference exposes this flow only as a script (/root/reference/
+testReal.py:285-660); here it is a composable API: stage functions
+(:func:`predict_brdf`, :func:`predict_light_core`, :func:`refine_bs`)
+plus :class:`InverseRenderer`, which owns the jit plumbing (per-stage
+programs with weights passed as arguments — closed-over trees embed as
+HLO constants and overflow the remote compile service's request limit)
+and runs image -> albedo/normal/rough/depth/lighting in one call.
+`cli.test_real` is a thin driver over this module.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from inverserenderingofindoorscene_tpu.core import sg
+from inverserenderingofindoorscene_tpu.core.imageops import resize_bilinear
+from inverserenderingofindoorscene_tpu.core.render_layer import RenderLayer
+from inverserenderingofindoorscene_tpu.core.scale import ls_regress_diff_spec
+from inverserenderingofindoorscene_tpu.ops.bilateral import (
+    MODE_PARAMS,
+    bilateral_solve,
+)
+from inverserenderingofindoorscene_tpu.pipeline.light import (
+    light_input_from_preds,
+    mean_normalize,
+)
+
+
+def load_real_image(path, im_hw, env_rc):
+    """Aspect-preserving resize + fov selection (testReal.py:290-343).
+
+    Returns (im [1,h,w,3] linear, im_small [1,eh,ew,3], fov_deg)."""
+    import cv2
+
+    im_cpu = cv2.imread(path)
+    assert im_cpu is not None, path
+    im_cpu = im_cpu[:, :, ::-1]
+    nh, nw = im_cpu.shape[:2]
+
+    def fit(max_h, max_w):
+        if nh < nw:
+            w = max_w
+            h = int(float(max_w) / nw * nh)
+        else:
+            h = max_h
+            w = int(float(max_h) / nh * nw)
+        # reference quirk kept for parity (testReal.py:306-309): INTER_AREA
+        # when UPSCALING (nh < newH), INTER_LINEAR when downscaling
+        interp = cv2.INTER_AREA if nh < h else cv2.INTER_LINEAR
+        out = cv2.resize(im_cpu, (w, h), interpolation=interp)
+        out = out.astype(np.float32) / 255.0
+        out = out / out.max()
+        return (out ** 2.2)[None]
+
+    im = fit(*im_hw)
+    im_small = fit(*env_rc)
+    fov = 57.0 if nh < nw else 42.75
+    return im, im_small, fov
+
+
+def predict_brdf(brdf_nets, bp, im, extra=None):
+    """Encoder+decoders with the testReal mean normalization (365-375)."""
+    inp = im if extra is None else jnp.concatenate([im] + extra, axis=-1)
+    feats = brdf_nets.encoder.apply(bp["encoder"], inp)
+    decs = brdf_nets.decoders
+    preds = {
+        "albedo": 0.5 * (decs["albedo"].apply(bp["albedo"], im, feats) + 1.0),
+        "normal": decs["normal"].apply(bp["normal"], im, feats),
+        "rough": decs["rough"].apply(bp["rough"], im, feats),
+        "depth": 0.5 * (decs["depth"].apply(bp["depth"], im, feats) + 1.0),
+    }
+    preds["albedo"] = mean_normalize(preds["albedo"])
+    preds["depth"] = mean_normalize(preds["depth"])
+    return preds
+
+
+def predict_light_core(light_nets, lp, im, preds, im_small, fov,
+                       env_pre=None, use_pallas=False):
+    """Jittable part of the light stack + render + LSregressDiffSpec
+    (testReal.py:382-419). The data-dependent cLight/cAlbedo branching
+    stays in Python (predict_light).
+
+    ``use_pallas``: route the SG->envmap decode and the shading integral
+    through the fused forward kernels (ops/sg_render.py) instead of the
+    jnp path — same math (kernel parity tests), faster on TPU."""
+    eh, ew = im_small.shape[1:3]
+    inp = light_input_from_preds(im, preds, (eh * 4, ew * 4))
+    feats = light_nets.encoder.apply(lp["encoder"], inp, env_pre)
+    decs = light_nets.decoders
+    axis = decs["axis"].apply(lp["axis"], feats, (eh, ew))
+    lamb01 = decs["lamb"].apply(lp["lamb"], feats, (eh, ew))
+    weight01 = decs["weight"].apply(lp["weight"], feats, (eh, ew))
+    b = axis.shape[0]
+    sg_flat = jnp.concatenate(
+        [axis.reshape(b, eh, ew, -1), lamb01,
+         weight01.reshape(b, eh, ew, -1)],
+        axis=-1,
+    )
+    if use_pallas:
+        from inverserenderingofindoorscene_tpu.core.imageops import (
+            adaptive_avg_pool,
+        )
+        from inverserenderingofindoorscene_tpu.ops.sg_render import (
+            render_sg,
+            sg_envmap,
+        )
+
+        interp = jax.default_backend() != "tpu"
+        lamb = sg.unsquash(lamb01)
+        weight = sg.unsquash(weight01)
+        env_img = sg_envmap(
+            axis, lamb, weight,
+            light_nets.env_height, light_nets.env_width, interpret=interp,
+        )
+        diffuse, specular = render_sg(
+            adaptive_avg_pool(preds["albedo"], (eh, ew)),
+            adaptive_avg_pool(preds["normal"], (eh, ew)),
+            adaptive_avg_pool(preds["rough"], (eh, ew)),
+            axis, lamb, weight,
+            fov_deg=fov,
+            env_height=light_nets.env_height,
+            env_width=light_nets.env_width,
+            interpret=interp,
+        )
+    else:
+        env_img, _, _, _ = sg.squashed_sg_to_envmap(
+            axis, lamb01, weight01, light_nets.env_height,
+            light_nets.env_width
+        )
+        layer = RenderLayer(
+            env_rows=eh, env_cols=ew,
+            env_height=light_nets.env_height,
+            env_width=light_nets.env_width,
+            fov_deg=fov,
+        )
+        diffuse, specular = layer.forward_env(
+            preds["albedo"], preds["normal"], preds["rough"], env_img
+        )
+    diffuse_new, specular_new = ls_regress_diff_spec(
+        diffuse, specular, im_small, diffuse, specular
+    )
+    return {
+        "sg_flat": sg_flat,
+        "env_img": env_img,
+        "diffuse_raw": diffuse,
+        "specular_raw": specular,
+        "diffuse": diffuse_new,
+        "specular": specular_new,
+        "albedo_max": jnp.max(preds["albedo"]),
+    }
+
+
+def predict_light(core_out):
+    """cLight/cAlbedo global-scale disambiguation (testReal.py:421-432) —
+    Python branching on concrete values, applied to a jitted core output."""
+    c_diff = float(
+        jnp.sum(core_out["diffuse"]) / jnp.sum(core_out["diffuse_raw"])
+    )
+    c_spec = float(
+        jnp.sum(core_out["specular"]) / jnp.sum(core_out["specular_raw"])
+    )
+    albedo_max = float(core_out["albedo_max"])
+    if c_spec < 1e-3:
+        c_albedo = 1.0 / albedo_max
+        c_light = c_diff / c_albedo
+    else:
+        c_light = c_spec
+        c_albedo = float(np.clip(c_diff / c_light, 1e-3, 1.0 / albedo_max))
+        c_light = c_diff / c_albedo
+    return {
+        "sg_flat": core_out["sg_flat"],
+        "env_img": core_out["env_img"] * c_light,
+        "diffuse": core_out["diffuse"],
+        "specular": core_out["specular"],
+        "c_albedo": c_albedo,
+        "c_light": c_light,
+    }
+
+
+def bs_prep(im, preds, bs_params=None):
+    """The jittable prefix of the refinement: max-normalized guide
+    (BilateralLayer.py:250-253), per-mode targets and confidences (trained
+    CNNs when a checkpoint is available, unit confidence otherwise).
+    Returns (guide, targets dict, confs dict)."""
+    h, w = im.shape[1:3]
+    guide = preds["albedo"]
+    gmax = jnp.clip(jnp.max(guide), 1e-5, 1.0)
+    guide = guide / gmax
+    targets = {
+        "albedo": preds["albedo"],
+        "rough": 0.5 * (preds["rough"] + 1.0),
+        "depth": preds["depth"],
+    }
+    if bs_params is None:
+        ones = jnp.ones((1, h, w, 1), jnp.float32)
+        confs = {"albedo": ones, "rough": ones, "depth": ones}
+    else:
+        from inverserenderingofindoorscene_tpu.models.bilateral_net import (
+            ConfidenceNet,
+        )
+
+        confs = {
+            "albedo": ConfidenceNet(6).apply(
+                bs_params["albedo"], im, targets["albedo"]
+            ),
+            "rough": ConfidenceNet(4).apply(
+                bs_params["rough"], im, targets["rough"]
+            ),
+            "depth": ConfidenceNet(4).apply(
+                bs_params["depth"], im, targets["depth"]
+            ),
+        }
+    return guide, targets, confs
+
+
+# (mode key, MODE_PARAMS id) in solve order
+_BS_MODES = (("albedo", 0), ("rough", 2), ("depth", 4))
+
+
+def refine_bs(im, preds, bs_params=None, v_max=None):
+    """Bilateral refinement of albedo/rough/depth (testReal.py:532-540).
+
+    ``v_max``: static vertex capacity; None = one per pixel (exact worst
+    case). Exact smaller capacities: see BucketedSolver / v_max='auto'."""
+    h, w = im.shape[1:3]
+    v_max = v_max or (h * w)
+    guide, targets, confs = bs_prep(im, preds, bs_params)
+    out = {
+        k: bilateral_solve(guide, targets[k], confs[k], MODE_PARAMS[m], v_max)
+        for k, m in _BS_MODES
+    }
+    out["rough"] = jnp.clip(2.0 * out["rough"] - 1.0, -1.0, 1.0)
+    return out
+
+
+def make_bs_fn(bs_params, v_max_opt):
+    """The per-image refinement callable.
+
+    v_max_opt: "full" (one vertex per pixel), "auto" (count the guide's
+    occupied cells, dispatch to a ladder-bucketed compile — exact, but far
+    fewer gather/sort rows on smooth guides), or an int capacity."""
+    if v_max_opt != "auto":
+        v_max = None if v_max_opt == "full" else int(v_max_opt)
+        jit_bs = jax.jit(
+            lambda bsp, im, preds: refine_bs(im, preds, bsp, v_max)
+        )
+        return functools.partial(jit_bs, bs_params)
+
+    from inverserenderingofindoorscene_tpu.ops.bilateral import (
+        BucketedSolver,
+    )
+
+    jit_prep = jax.jit(lambda bsp, im, preds: bs_prep(im, preds, bsp))
+    post_rough = jax.jit(lambda x: jnp.clip(2.0 * x - 1.0, -1.0, 1.0))
+    solver = BucketedSolver()
+    mode_params = tuple(MODE_PARAMS[m] for _, m in _BS_MODES)
+
+    def bs_fn(im, preds):
+        guide, targets, confs = jit_prep(bs_params, im, preds)
+        nv = solver.counts(guide, mode_params)
+        out = {
+            k: solver.solve(guide, targets[k], confs[k], p, n)
+            for (k, _), p, n in zip(_BS_MODES, mode_params, nv)
+        }
+        out["rough"] = post_rough(out["rough"])
+        return out
+
+    return bs_fn
+
+
+class InverseRenderer:
+    """Single-image inverse rendering as one call (the testReal chain).
+
+    Wraps the two-cascade BRDF + lighting stacks and the bilateral
+    refinement behind jitted per-stage programs.  Weights are passed as
+    jit ARGUMENTS (closed-over trees embed as HLO constants, inflating
+    and eventually overflowing remote compile requests) and live on
+    device across calls.  Stages recompile once per unique image aspect.
+
+    Example::
+
+        stacks = load_stack(opt)            # cli.test_real checkpoint I/O
+        r = InverseRenderer(stacks, is_light=True, is_bs=True)
+        out = r.render_file("photo.png")
+        out["preds"][-1]["albedo"]          # final-cascade predictions
+        out["light"]["env_img"]             # per-pixel envmaps (scaled)
+        out["refined"]["albedo"]            # bilateral-refined maps
+
+    ``stacks``: [(BRDFNets, brdf_params, LightNets, light_params)] per
+    cascade. ``v_max``: bilateral vertex capacity ("auto"/"full"/int, see
+    :func:`make_bs_fn`).
+    """
+
+    def __init__(self, stacks, *, is_light=True, is_bs=False,
+                 bs_params=None, v_max="auto", use_pallas=False):
+        self.level = len(stacks)
+        assert self.level in (1, 2), self.level
+        self.is_light = is_light
+        self.is_bs = is_bs
+
+        brdf0_nets, bp0 = stacks[0][0], jax.device_put(stacks[0][1])
+        light0_nets, lp0 = stacks[0][2], jax.device_put(stacks[0][3])
+        self._brdf0 = functools.partial(
+            jax.jit(lambda bp, im: predict_brdf(brdf0_nets, bp, im)), bp0
+        )
+        # off-TPU the kernels run in interpret mode (slow but correct), so
+        # the flag alone decides — which also lets CPU tests cover the
+        # branch
+        self._light0 = functools.partial(
+            jax.jit(
+                lambda lp, im, preds, im_small, fov: predict_light_core(
+                    light0_nets, lp, im, preds, im_small, fov,
+                    use_pallas=use_pallas,
+                ),
+                static_argnums=(4,),
+            ),
+            lp0,
+        )
+        if self.level == 2:
+            brdf1_nets, bp1 = stacks[1][0], jax.device_put(stacks[1][1])
+            light1_nets, lp1 = stacks[1][2], jax.device_put(stacks[1][3])
+
+            def _cascade1(bp, im, preds, diffuse, specular):
+                hw = im.shape[1:3]
+                extra = [
+                    resize_bilinear(preds["albedo"], hw),
+                    0.5 * (resize_bilinear(preds["normal"], hw) + 1.0),
+                    0.5 * (resize_bilinear(preds["rough"], hw) + 1.0),
+                    resize_bilinear(preds["depth"], hw),
+                    resize_bilinear(diffuse, hw),
+                    resize_bilinear(specular, hw),
+                ]
+                return predict_brdf(brdf1_nets, bp, im, extra)
+
+            self._brdf1 = functools.partial(jax.jit(_cascade1), bp1)
+            self._light1 = functools.partial(
+                jax.jit(
+                    lambda lp, im, preds, im_small, fov, env_pre:
+                    predict_light_core(
+                        light1_nets, lp, im, preds, im_small, fov, env_pre,
+                        use_pallas=use_pallas,
+                    ),
+                    static_argnums=(4,),
+                ),
+                lp1,
+            )
+        if is_bs:
+            if bs_params is not None:
+                bs_params = jax.device_put(bs_params)
+            self._bs = make_bs_fn(bs_params, v_max)
+
+    def __call__(self, im, im_small, fov=57.0):
+        """Run the chain on a staged image.
+
+        im [1,H,W,3] linear RGB in 0..1; im_small [1,eh,ew,3] (the
+        lighting-grid resize of the same photo); fov in degrees.
+        Returns {"preds": [per-cascade pred dicts], "light": light dict or
+        None (cascade-0's when is_light=False but level==2, since the
+        cascade-1 input needs its rendered components), "refined": dict
+        or None}."""
+        preds = self._brdf0(im)
+        all_preds = [preds]
+        light_out = None
+        if self.is_light or self.level == 2:
+            light_out = predict_light(
+                self._light0(im, preds, im_small, fov)
+            )
+        if self.level == 2:
+            preds = self._brdf1(
+                im, preds, light_out["diffuse"], light_out["specular"]
+            )
+            all_preds.append(preds)
+            if self.is_light:
+                light_out = predict_light(
+                    self._light1(im, preds, im_small, fov,
+                                 light_out["sg_flat"])
+                )
+        bs_out = self._bs(im, preds) if self.is_bs else None
+        return {"preds": all_preds, "light": light_out, "refined": bs_out}
+
+    def render_file(self, path, im_hw=(240, 320), env_rc=(120, 160)):
+        """Load a photo from disk (aspect-preserving resize, gamma to
+        linear, fov by orientation) and run the chain."""
+        im, im_small, fov = load_real_image(path, im_hw, env_rc)
+        return self(jnp.asarray(im), jnp.asarray(im_small), fov)
+
+
+__all__ = [
+    "InverseRenderer",
+    "load_real_image",
+    "predict_brdf",
+    "predict_light_core",
+    "predict_light",
+    "bs_prep",
+    "refine_bs",
+    "make_bs_fn",
+]

@@ -47,7 +47,7 @@ def main():
     ap.add_argument("--imWidth", type=int, default=320)
     opt = ap.parse_args()
 
-    from inverserenderingofindoorscene_tpu.cli.test_real import (
+    from inverserenderingofindoorscene_tpu.pipeline.inference import (
         make_bs_fn,
         predict_brdf,
         predict_light_core,
@@ -143,7 +143,7 @@ def main():
     fence(out0)
     print(f"compiled in {time.time() - t0:.0f} s; timing ...", flush=True)
     if not opt.no_bs and opt.v_max == "auto":
-        from inverserenderingofindoorscene_tpu.cli.test_real import bs_prep
+        from inverserenderingofindoorscene_tpu.pipeline.inference import bs_prep
         from inverserenderingofindoorscene_tpu.ops.bilateral import (
             MODE_PARAMS,
             bucket_capacity,

@@ -170,3 +170,37 @@ def test_bf16_compute_matches_f32():
         _, errors = jax.jit(lambda p, b: brdf_step(nets, p, b))(params, batch)
         losses[dt] = float(brdf_total_error(errors))
     assert abs(losses["bfloat16"] - losses["float32"]) / losses["float32"] < 0.02, losses
+
+
+def test_inverse_renderer_api(tmp_path):
+    """Library-level single-call inference (pipeline.inference): one
+    cascade with lighting + bilateral refinement from a photo on disk,
+    incl. the aspect-preserving resize and fov-by-orientation rule."""
+    cv2 = pytest.importorskip("cv2")
+    from inverserenderingofindoorscene_tpu.pipeline import InverseRenderer
+
+    rng = np.random.RandomState(0)
+    path = str(tmp_path / "photo.png")
+    # square source: the aspect-preserving fit keeps the full 32-row
+    # lighting grid (the 8-deep stride-2 light encoder needs >=eh*4=128
+    # input rows; a TALLER grid than the source aspect allows would
+    # collapse its deepest feature map to zero rows)
+    cv2.imwrite(path, (rng.rand(64, 64, 3) * 255).astype(np.uint8))
+
+    brdf = BRDFNets(cascade_level=0)
+    light = tiny_light_nets()
+    bp = brdf.init(jax.random.PRNGKey(0), IM_HW)
+    lp = light.init(jax.random.PRNGKey(1), LIGHT_HW)
+    r = InverseRenderer([(brdf, bp, light, lp)], is_light=True, is_bs=True)
+    out = r.render_file(path, im_hw=IM_HW, env_rc=ENV_RC)
+
+    assert len(out["preds"]) == 1
+    preds = out["preds"][0]
+    assert preds["albedo"].shape == (1, 64, 64, 3)
+    assert out["light"] is not None and out["refined"] is not None
+    assert np.isfinite(float(out["light"]["c_light"]))
+    for k in ("albedo", "rough", "depth"):
+        arr = np.asarray(out["refined"][k])
+        assert arr.shape[:3] == (1, 64, 64), k
+        assert np.all(np.isfinite(arr)), k
+    assert np.asarray(out["light"]["env_img"]).shape[1:3] == ENV_RC
