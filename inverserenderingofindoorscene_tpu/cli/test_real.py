@@ -73,6 +73,11 @@ def parse_args(argv=None):
                    choices=["float32", "bfloat16"],
                    help="conv-stack compute dtype (params stay f32; "
                         "bfloat16 roughly halves conv time on the MXU)")
+    p.add_argument("--fused", action="store_true",
+                   help="compile the whole BRDF/light chain into one XLA "
+                        "program (cLight branch traced as jnp.where) "
+                        "instead of per-stage programs: one dispatch and "
+                        "one device sync per image")
     p.add_argument("--usePallas", action="store_true",
                    help="route the SG decode/render through the fused "
                         "Pallas forward kernels; default is the jnp path, "
@@ -183,6 +188,7 @@ def main(argv=None):
         bs_params=bs_params,
         v_max=opt.vMax,
         use_pallas=opt.usePallas,
+        fused=opt.fused,
     )
 
     for im_path in im_list:
@@ -202,7 +208,10 @@ def main(argv=None):
         lvl = len(all_preds) - 1
         # the cAlbedo global-scale disambiguation applies to the saved
         # albedo (testReal.py:546-549)
-        c_albedo = light_out["c_albedo"] if light_out is not None else 1.0
+        # float() also pulls the fused path's 0-d device array to host
+        c_albedo = (
+            float(light_out["c_albedo"]) if light_out is not None else 1.0
+        )
         albedo_out = np.asarray(final["albedo"][0]) * c_albedo
         np.save(out(f"{name}_albedo{lvl}.npy"), albedo_out)
         np.save(out(f"{name}_normal{lvl}.npy"), np.asarray(final["normal"][0]))

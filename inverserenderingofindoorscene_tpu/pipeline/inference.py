@@ -184,6 +184,36 @@ def predict_light(core_out):
     }
 
 
+def predict_light_traced(core_out):
+    """Traceable cLight/cAlbedo disambiguation (testReal.py:421-432).
+
+    Same math as :func:`predict_light` but with the data-dependent branch
+    as ``jnp.where``, so the WHOLE two-cascade chain can compile into one
+    XLA program (no host round-trip mid-chain).  Both reference branches
+    end at ``c_light = c_diff / c_albedo``; only ``c_albedo`` differs:
+    the upper clip bound when the specular fit is degenerate, the clipped
+    ratio otherwise.  The degenerate branch's discarded ratio can be
+    inf/nan; ``jnp.where`` never selects it and nothing differentiates
+    through this, so it is inert."""
+    c_diff = jnp.sum(core_out["diffuse"]) / jnp.sum(core_out["diffuse_raw"])
+    c_spec = (
+        jnp.sum(core_out["specular"]) / jnp.sum(core_out["specular_raw"])
+    )
+    ca_hi = 1.0 / core_out["albedo_max"]
+    c_albedo = jnp.where(
+        c_spec < 1e-3, ca_hi, jnp.clip(c_diff / c_spec, 1e-3, ca_hi)
+    )
+    c_light = c_diff / c_albedo
+    return {
+        "sg_flat": core_out["sg_flat"],
+        "env_img": core_out["env_img"] * c_light,
+        "diffuse": core_out["diffuse"],
+        "specular": core_out["specular"],
+        "c_albedo": c_albedo,
+        "c_light": c_light,
+    }
+
+
 def bs_prep(im, preds, bs_params=None):
     """The jittable prefix of the refinement: max-normalized guide
     (BilateralLayer.py:250-253), per-mode targets and confidences (trained
@@ -275,6 +305,20 @@ def make_bs_fn(bs_params, v_max_opt):
     return bs_fn
 
 
+def _cascade1_extra(im, preds, diffuse, specular):
+    """Cascade-1 encoder extra channels: the cascade-0 maps and rendered
+    components upsampled to image resolution (testReal.py:438-452)."""
+    hw = im.shape[1:3]
+    return [
+        resize_bilinear(preds["albedo"], hw),
+        0.5 * (resize_bilinear(preds["normal"], hw) + 1.0),
+        0.5 * (resize_bilinear(preds["rough"], hw) + 1.0),
+        resize_bilinear(preds["depth"], hw),
+        resize_bilinear(diffuse, hw),
+        resize_bilinear(specular, hw),
+    ]
+
+
 class InverseRenderer:
     """Single-image inverse rendering as one call (the testReal chain).
 
@@ -283,6 +327,14 @@ class InverseRenderer:
     jit ARGUMENTS (closed-over trees embed as HLO constants, inflating
     and eventually overflowing remote compile requests) and live on
     device across calls.  Stages recompile once per unique image aspect.
+
+    ``fused=True`` compiles the whole BRDF->light->BRDF->light chain
+    into ONE XLA program instead of four, with the cLight/cAlbedo
+    disambiguation traced as ``jnp.where`` (:func:`predict_light_traced`)
+    instead of Python host branching: one dispatch and one device sync
+    per image.  The bilateral refinement stays a separate program (its
+    exact auto-capacity dispatch needs a host read of the counted
+    vertices).
 
     Example::
 
@@ -299,62 +351,101 @@ class InverseRenderer:
     """
 
     def __init__(self, stacks, *, is_light=True, is_bs=False,
-                 bs_params=None, v_max="auto", use_pallas=False):
+                 bs_params=None, v_max="auto", use_pallas=False,
+                 fused=False):
         self.level = len(stacks)
         assert self.level in (1, 2), self.level
         self.is_light = is_light
         self.is_bs = is_bs
+        self.fused = fused
 
-        brdf0_nets, bp0 = stacks[0][0], jax.device_put(stacks[0][1])
-        light0_nets, lp0 = stacks[0][2], jax.device_put(stacks[0][3])
-        self._brdf0 = functools.partial(
-            jax.jit(lambda bp, im: predict_brdf(brdf0_nets, bp, im)), bp0
+        nets = [(s[0], s[2]) for s in stacks]
+        params = tuple(
+            jax.device_put(p) for s in stacks for p in (s[1], s[3])
         )
-        # off-TPU the kernels run in interpret mode (slow but correct), so
-        # the flag alone decides — which also lets CPU tests cover the
-        # branch
-        self._light0 = functools.partial(
-            jax.jit(
-                lambda lp, im, preds, im_small, fov: predict_light_core(
-                    light0_nets, lp, im, preds, im_small, fov,
-                    use_pallas=use_pallas,
-                ),
-                static_argnums=(4,),
-            ),
-            lp0,
-        )
-        if self.level == 2:
-            brdf1_nets, bp1 = stacks[1][0], jax.device_put(stacks[1][1])
-            light1_nets, lp1 = stacks[1][2], jax.device_put(stacks[1][3])
-
-            def _cascade1(bp, im, preds, diffuse, specular):
-                hw = im.shape[1:3]
-                extra = [
-                    resize_bilinear(preds["albedo"], hw),
-                    0.5 * (resize_bilinear(preds["normal"], hw) + 1.0),
-                    0.5 * (resize_bilinear(preds["rough"], hw) + 1.0),
-                    resize_bilinear(preds["depth"], hw),
-                    resize_bilinear(diffuse, hw),
-                    resize_bilinear(specular, hw),
-                ]
-                return predict_brdf(brdf1_nets, bp, im, extra)
-
-            self._brdf1 = functools.partial(jax.jit(_cascade1), bp1)
-            self._light1 = functools.partial(
+        if fused:
+            self._chain = functools.partial(
                 jax.jit(
-                    lambda lp, im, preds, im_small, fov, env_pre:
-                    predict_light_core(
-                        light1_nets, lp, im, preds, im_small, fov, env_pre,
+                    lambda ps, im, im_small, fov: self._run_chain(
+                        nets, ps, im, im_small, fov, use_pallas,
+                        predict_light_traced,
+                    ),
+                    static_argnums=(3,),
+                ),
+                params,
+            )
+        else:
+            brdf0_nets, light0_nets = nets[0]
+            bp0, lp0 = params[0], params[1]
+            self._brdf0 = functools.partial(
+                jax.jit(lambda bp, im: predict_brdf(brdf0_nets, bp, im)),
+                bp0,
+            )
+            # off-TPU the kernels run in interpret mode (slow but correct),
+            # so the flag alone decides — which also lets CPU tests cover
+            # the branch
+            self._light0 = functools.partial(
+                jax.jit(
+                    lambda lp, im, preds, im_small, fov: predict_light_core(
+                        light0_nets, lp, im, preds, im_small, fov,
                         use_pallas=use_pallas,
                     ),
                     static_argnums=(4,),
                 ),
-                lp1,
+                lp0,
             )
+            if self.level == 2:
+                brdf1_nets, light1_nets = nets[1]
+                bp1, lp1 = params[2], params[3]
+
+                def _cascade1(bp, im, preds, diffuse, specular):
+                    extra = _cascade1_extra(im, preds, diffuse, specular)
+                    return predict_brdf(brdf1_nets, bp, im, extra)
+
+                self._brdf1 = functools.partial(jax.jit(_cascade1), bp1)
+                self._light1 = functools.partial(
+                    jax.jit(
+                        lambda lp, im, preds, im_small, fov, env_pre:
+                        predict_light_core(
+                            light1_nets, lp, im, preds, im_small, fov,
+                            env_pre, use_pallas=use_pallas,
+                        ),
+                        static_argnums=(4,),
+                    ),
+                    lp1,
+                )
         if is_bs:
             if bs_params is not None:
                 bs_params = jax.device_put(bs_params)
             self._bs = make_bs_fn(bs_params, v_max)
+
+    def _run_chain(self, nets, params, im, im_small, fov, use_pallas,
+                   light_post):
+        """The full chain with pluggable scale disambiguation:
+        :func:`predict_light_traced` when jitted whole (fused), the
+        identity when the caller applies :func:`predict_light` on host."""
+        brdf0_nets, light0_nets = nets[0]
+        preds = predict_brdf(brdf0_nets, params[0], im)
+        all_preds = [preds]
+        light_out = None
+        if self.is_light or self.level == 2:
+            light_out = light_post(predict_light_core(
+                light0_nets, params[1], im, preds, im_small, fov,
+                use_pallas=use_pallas,
+            ))
+        if self.level == 2:
+            brdf1_nets, light1_nets = nets[1]
+            extra = _cascade1_extra(
+                im, preds, light_out["diffuse"], light_out["specular"]
+            )
+            preds = predict_brdf(brdf1_nets, params[2], im, extra)
+            all_preds.append(preds)
+            if self.is_light:
+                light_out = light_post(predict_light_core(
+                    light1_nets, params[3], im, preds, im_small, fov,
+                    light_out["sg_flat"], use_pallas=use_pallas,
+                ))
+        return {"preds": all_preds, "light": light_out}
 
     def __call__(self, im, im_small, fov=57.0):
         """Run the chain on a staged image.
@@ -365,24 +456,28 @@ class InverseRenderer:
         None (cascade-0's when is_light=False but level==2, since the
         cascade-1 input needs its rendered components), "refined": dict
         or None}."""
-        preds = self._brdf0(im)
-        all_preds = [preds]
-        light_out = None
-        if self.is_light or self.level == 2:
-            light_out = predict_light(
-                self._light0(im, preds, im_small, fov)
-            )
-        if self.level == 2:
-            preds = self._brdf1(
-                im, preds, light_out["diffuse"], light_out["specular"]
-            )
-            all_preds.append(preds)
-            if self.is_light:
+        if self.fused:
+            out = self._chain(im, im_small, fov)
+            all_preds, light_out = out["preds"], out["light"]
+        else:
+            preds = self._brdf0(im)
+            all_preds = [preds]
+            light_out = None
+            if self.is_light or self.level == 2:
                 light_out = predict_light(
-                    self._light1(im, preds, im_small, fov,
-                                 light_out["sg_flat"])
+                    self._light0(im, preds, im_small, fov)
                 )
-        bs_out = self._bs(im, preds) if self.is_bs else None
+            if self.level == 2:
+                preds = self._brdf1(
+                    im, preds, light_out["diffuse"], light_out["specular"]
+                )
+                all_preds.append(preds)
+                if self.is_light:
+                    light_out = predict_light(
+                        self._light1(im, preds, im_small, fov,
+                                     light_out["sg_flat"])
+                    )
+        bs_out = self._bs(im, all_preds[-1]) if self.is_bs else None
         return {"preds": all_preds, "light": light_out, "refined": bs_out}
 
     def render_file(self, path, im_hw=(240, 320), env_rc=(120, 160)):
@@ -398,6 +493,7 @@ __all__ = [
     "predict_brdf",
     "predict_light_core",
     "predict_light",
+    "predict_light_traced",
     "bs_prep",
     "refine_bs",
     "make_bs_fn",

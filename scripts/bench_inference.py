@@ -37,6 +37,10 @@ def main():
     ap.add_argument("--v-max", default="full",
                     help="bilateral vertex capacity: 'full', 'auto', or int")
     ap.add_argument("--use-pallas", action="store_true")
+    ap.add_argument("--fused", action="store_true",
+                    help="one whole-chain XLA program (InverseRenderer "
+                         "fused=True, cLight branch traced as jnp.where) "
+                         "instead of per-stage programs")
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "bfloat16"])
     ap.add_argument("--iters", type=int, default=10)
@@ -113,14 +117,34 @@ def main():
     jit_bs = make_bs_fn(None, opt.v_max)
     bp0, lp0, bp1, lp1 = jax.device_put((bp0, lp0, bp1, lp1))
 
-    def chain(im):
-        im_small, preds0, light0 = stage0(bp0, lp0, im)
-        preds1, light1 = stage1(bp1, lp1, im, im_small, preds0, light0)
-        out = {"preds": preds1, "env": light1["env_img"],
-               "sg": light1["sg_flat"]}
-        if not opt.no_bs:
-            out["refined"] = jit_bs(im, preds1)
-        return out
+    if opt.fused:
+        from inverserenderingofindoorscene_tpu.pipeline.inference import (
+            InverseRenderer,
+        )
+
+        renderer = InverseRenderer(
+            stacks, is_light=True, is_bs=not opt.no_bs, v_max=opt.v_max,
+            use_pallas=use_pallas, fused=True,
+        )
+
+        @jax.jit
+        def _small(im):
+            return adaptive_avg_pool(im, (er, ec))
+
+        def chain(im):
+            out = renderer(im, _small(im), fov)
+            return {"preds": out["preds"][-1], "env": out["light"]["env_img"],
+                    "sg": out["light"]["sg_flat"],
+                    **({"refined": out["refined"]} if not opt.no_bs else {})}
+    else:
+        def chain(im):
+            im_small, preds0, light0 = stage0(bp0, lp0, im)
+            preds1, light1 = stage1(bp1, lp1, im, im_small, preds0, light0)
+            out = {"preds": preds1, "env": light1["env_img"],
+                   "sg": light1["sg_flat"]}
+            if not opt.no_bs:
+                out["refined"] = jit_bs(im, preds1)
+            return out
 
     # Photo-like input: piecewise-smooth base + mild texture.  Conv/light
     # latency is input-independent, but the bilateral stage's auto
@@ -172,6 +196,7 @@ def main():
     tag = ("full chain (2 cascades + light + BS)" if not opt.no_bs else
            "2 cascades + light (no BS)")
     tag += f" [B{opt.batch} {opt.dtype}{', pallas' if use_pallas else ''}"
+    tag += ", fused" if opt.fused else ""
     if not opt.no_bs:
         tag += f", vMax={opt.v_max}"
     tag += "]"

@@ -243,3 +243,16 @@ def test_test_real_cli(dataset, tmp_path):
     np.testing.assert_allclose(
         env_pal / env_pal.mean(), env_jnp / env_jnp.mean(), atol=1e-3
     )
+
+    # the whole-chain single-program branch (--fused): same products as
+    # the staged run up to the f32-vs-host-f64 cLight arithmetic
+    outdir3 = tmp_path / "out_fused"
+    test_real.main([
+        "--imList", str(im_list), "--output", str(outdir3),
+        "--level", "2", "--isLight", "--fused",
+        "--imHeight", str(IM_HW[0]), "--imWidth", str(IM_HW[1]),
+        "--envRow", str(ENV_RC[0]), "--envCol", str(ENV_RC[1]),
+    ])
+    alb_staged = np.load(outdir / "real_albedo1.npy")
+    alb_fused = np.load(outdir3 / "real_albedo1.npy")
+    np.testing.assert_allclose(alb_fused, alb_staged, rtol=1e-3, atol=1e-5)

@@ -204,3 +204,49 @@ def test_inverse_renderer_api(tmp_path):
         assert arr.shape[:3] == (1, 64, 64), k
         assert np.all(np.isfinite(arr)), k
     assert np.asarray(out["light"]["env_img"]).shape[1:3] == ENV_RC
+
+
+def test_fused_chain_matches_staged():
+    """fused=True (whole chain in one XLA program, jnp.where scale
+    disambiguation) must reproduce the staged per-stage programs (host
+    Python branch) on a two-cascade stack."""
+    from inverserenderingofindoorscene_tpu.pipeline import InverseRenderer
+
+    rng = np.random.RandomState(3)
+    im = jnp.asarray(rng.rand(1, *IM_HW, 3).astype(np.float32) ** 2.2)
+    im_small = jnp.asarray(
+        rng.rand(1, *ENV_RC, 3).astype(np.float32) ** 2.2
+    )
+
+    stacks = []
+    for lvl in range(2):
+        brdf = BRDFNets(cascade_level=lvl)
+        light = tiny_light_nets(cascade_level=lvl)
+        bp = brdf.init(jax.random.PRNGKey(10 + lvl), IM_HW)
+        lp = light.init(jax.random.PRNGKey(20 + lvl), LIGHT_HW)
+        stacks.append((brdf, bp, light, lp))
+
+    staged = InverseRenderer(stacks, is_light=True)(im, im_small, 57.0)
+    fused = InverseRenderer(stacks, is_light=True, fused=True)(
+        im, im_small, 57.0
+    )
+
+    assert len(fused["preds"]) == 2
+    for k in ("albedo", "normal", "rough", "depth"):
+        np.testing.assert_allclose(
+            np.asarray(fused["preds"][-1][k]),
+            np.asarray(staged["preds"][-1][k]),
+            atol=2e-5, err_msg=k,
+        )
+    # the staged path computes cLight/cAlbedo in float64 host arithmetic,
+    # the fused path in f32 on device — identical branch, ~1e-6 rel noise
+    for k in ("c_albedo", "c_light"):
+        np.testing.assert_allclose(
+            float(fused["light"][k]), float(staged["light"][k]),
+            rtol=1e-4, err_msg=k,
+        )
+    np.testing.assert_allclose(
+        np.asarray(fused["light"]["env_img"]),
+        np.asarray(staged["light"]["env_img"]),
+        rtol=1e-3, atol=1e-5,
+    )
