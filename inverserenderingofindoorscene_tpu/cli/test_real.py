@@ -208,9 +208,15 @@ def main(argv=None):
         lvl = len(all_preds) - 1
         # the cAlbedo global-scale disambiguation applies to the saved
         # albedo (testReal.py:546-549)
-        # float() also pulls the fused path's 0-d device array to host
-        c_albedo = (
-            float(light_out["c_albedo"]) if light_out is not None else 1.0
+        # reshape(-1)[0]: the staged path yields host floats, the fused
+        # path [B=1] device arrays — normalize both to float
+        c_albedo, c_light = (
+            (
+                float(np.asarray(light_out["c_albedo"]).reshape(-1)[0]),
+                float(np.asarray(light_out["c_light"]).reshape(-1)[0]),
+            )
+            if light_out is not None
+            else (1.0, 1.0)
         )
         albedo_out = np.asarray(final["albedo"][0]) * c_albedo
         np.save(out(f"{name}_albedo{lvl}.npy"), albedo_out)
@@ -262,7 +268,7 @@ def main(argv=None):
             )
             np.save(
                 out(f"{name}_cLight{lvl}.npy"),
-                np.array([light_out["c_albedo"], light_out["c_light"]]),
+                np.array([c_albedo, c_light]),
             )
             # .mat export for the reference's downstream comparison tooling
             # (testReal.py:646 writes scipy.io.savemat {'cLight': ...})
@@ -272,8 +278,8 @@ def main(argv=None):
                 savemat(
                     out(f"{name}_cLight{lvl}.mat"),
                     {
-                        "cLight": np.asarray(light_out["c_light"]),
-                        "cAlbedo": np.asarray(light_out["c_albedo"]),
+                        "cLight": np.asarray(c_light),
+                        "cAlbedo": np.asarray(c_albedo),
                     },
                 )
             except ImportError:

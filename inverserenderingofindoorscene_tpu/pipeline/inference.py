@@ -153,20 +153,26 @@ def predict_light_core(light_nets, lp, im, preds, im_small, fov,
         "specular_raw": specular,
         "diffuse": diffuse_new,
         "specular": specular_new,
-        "albedo_max": jnp.max(preds["albedo"]),
+        # per-image max: [B] (identical to the global max at the
+        # reference driver's B=1; keeps batched serving scales separate)
+        "albedo_max": jnp.max(
+            preds["albedo"], axis=tuple(range(1, preds["albedo"].ndim))
+        ),
     }
 
 
 def predict_light(core_out):
     """cLight/cAlbedo global-scale disambiguation (testReal.py:421-432) —
-    Python branching on concrete values, applied to a jitted core output."""
+    Python branching on concrete values, applied to a jitted core output.
+    Batch-1 only, like the reference driver; batched serving goes through
+    :func:`predict_light_traced` (fused mode), whose fit is per-image."""
     c_diff = float(
         jnp.sum(core_out["diffuse"]) / jnp.sum(core_out["diffuse_raw"])
     )
     c_spec = float(
         jnp.sum(core_out["specular"]) / jnp.sum(core_out["specular_raw"])
     )
-    albedo_max = float(core_out["albedo_max"])
+    albedo_max = float(core_out["albedo_max"].reshape(-1)[0])
     if c_spec < 1e-3:
         c_albedo = 1.0 / albedo_max
         c_light = c_diff / c_albedo
@@ -194,19 +200,30 @@ def predict_light_traced(core_out):
     the upper clip bound when the specular fit is degenerate, the clipped
     ratio otherwise.  The degenerate branch's discarded ratio can be
     inf/nan; ``jnp.where`` never selects it and nothing differentiates
-    through this, so it is inert."""
-    c_diff = jnp.sum(core_out["diffuse"]) / jnp.sum(core_out["diffuse_raw"])
+    through this, so it is inert.
+
+    Unlike the host version (and the strictly-batch-1 reference driver),
+    the fit is PER IMAGE — ``c_albedo``/``c_light`` are [B] — so batched
+    serving does not mix scale factors across images; at B=1 the two are
+    identical."""
+    axes = tuple(range(1, core_out["diffuse"].ndim))
+    c_diff = (
+        jnp.sum(core_out["diffuse"], axes)
+        / jnp.sum(core_out["diffuse_raw"], axes)
+    )
     c_spec = (
-        jnp.sum(core_out["specular"]) / jnp.sum(core_out["specular_raw"])
+        jnp.sum(core_out["specular"], axes)
+        / jnp.sum(core_out["specular_raw"], axes)
     )
     ca_hi = 1.0 / core_out["albedo_max"]
     c_albedo = jnp.where(
         c_spec < 1e-3, ca_hi, jnp.clip(c_diff / c_spec, 1e-3, ca_hi)
     )
     c_light = c_diff / c_albedo
+    env = core_out["env_img"]
     return {
         "sg_flat": core_out["sg_flat"],
-        "env_img": core_out["env_img"] * c_light,
+        "env_img": env * c_light.reshape((-1,) + (1,) * (env.ndim - 1)),
         "diffuse": core_out["diffuse"],
         "specular": core_out["specular"],
         "c_albedo": c_albedo,

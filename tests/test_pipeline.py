@@ -242,7 +242,7 @@ def test_fused_chain_matches_staged():
     # the fused path in f32 on device — identical branch, ~1e-6 rel noise
     for k in ("c_albedo", "c_light"):
         np.testing.assert_allclose(
-            float(fused["light"][k]), float(staged["light"][k]),
+            float(fused["light"][k][0]), float(staged["light"][k]),
             rtol=1e-4, err_msg=k,
         )
     np.testing.assert_allclose(
@@ -250,3 +250,23 @@ def test_fused_chain_matches_staged():
         np.asarray(staged["light"]["env_img"]),
         rtol=1e-3, atol=1e-5,
     )
+
+    # batched serving: the traced cLight/cAlbedo fit is per image, so a
+    # B2 batch must reproduce the two B1 runs (the host/staged path, like
+    # the reference driver, is strictly B1)
+    rng = np.random.RandomState(7)
+    im2 = jnp.asarray(rng.rand(2, *IM_HW, 3).astype(np.float32) ** 2.2)
+    small2 = jnp.asarray(rng.rand(2, *ENV_RC, 3).astype(np.float32) ** 2.2)
+    r = InverseRenderer(stacks, is_light=True, fused=True)
+    out2 = r(im2, small2, 57.0)
+    for i in range(2):
+        out1 = r(im2[i : i + 1], small2[i : i + 1], 57.0)
+        np.testing.assert_allclose(
+            float(out2["light"]["c_light"][i]),
+            float(out1["light"]["c_light"][0]),
+            rtol=1e-4, err_msg=f"image {i}",
+        )
+    assert not np.isclose(
+        float(out2["light"]["c_light"][0]),
+        float(out2["light"]["c_light"][1]),
+    ), "distinct images should get distinct per-image scales"
