@@ -380,6 +380,9 @@ class InverseRenderer:
         params = tuple(
             jax.device_put(p) for s in stacks for p in (s[1], s[3])
         )
+        self._nets = nets
+        self._params = params
+        self._use_pallas = use_pallas
         if fused:
             self._chain = functools.partial(
                 jax.jit(
@@ -503,9 +506,51 @@ class InverseRenderer:
         im, im_small, fov = load_real_image(path, im_hw, env_rc)
         return self(jnp.asarray(im), jnp.asarray(im_small), fov)
 
+    def serialize(self, im_hw, env_rc, fov=57.0, batch=1):
+        """AOT-export the fused chain as a portable StableHLO artifact.
+
+        Returns ``(blob, params)``: ``blob`` is ``bytes`` (the
+        ``jax.export`` serialization of the whole BRDF/light chain at the
+        given static shapes) and ``params`` the weight pytree the artifact
+        takes as its first argument.  Deployment needs only the two —
+        :func:`deserialize_chain` (or any StableHLO consumer) serves the
+        model without this package's model code.  Requires ``fused=True``
+        (the artifact is one program by construction).  The default jnp
+        compute path exports portably; ``use_pallas`` would embed
+        TPU-only Mosaic custom calls."""
+        assert self.fused, "serialize requires fused=True"
+        from jax import export as jexport
+
+        nets, use_pallas = self._nets, self._use_pallas
+
+        def fn(ps, im, im_small):
+            return self._run_chain(
+                nets, ps, im, im_small, fov, use_pallas,
+                predict_light_traced,
+            )
+
+        pspec = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), self._params
+        )
+        im_spec = jax.ShapeDtypeStruct((batch, *im_hw, 3), jnp.float32)
+        small_spec = jax.ShapeDtypeStruct((batch, *env_rc, 3), jnp.float32)
+        exported = jexport.export(jax.jit(fn))(pspec, im_spec, small_spec)
+        return bytes(exported.serialize()), self._params
+
+
+def deserialize_chain(blob):
+    """Rehydrate a :meth:`InverseRenderer.serialize` artifact.
+
+    Returns a jitted callable ``(params, im, im_small) -> {"preds", "light"}``
+    with the same output pytree as the fused chain."""
+    from jax import export as jexport
+
+    return jax.jit(jexport.deserialize(blob).call)
+
 
 __all__ = [
     "InverseRenderer",
+    "deserialize_chain",
     "load_real_image",
     "predict_brdf",
     "predict_light_core",

@@ -270,3 +270,23 @@ def test_fused_chain_matches_staged():
         float(out2["light"]["c_light"][0]),
         float(out2["light"]["c_light"][1]),
     ), "distinct images should get distinct per-image scales"
+
+    # AOT deployment artifact: serialize the fused chain (jax.export
+    # StableHLO), rehydrate WITHOUT the model objects, compare outputs
+    from inverserenderingofindoorscene_tpu.pipeline.inference import (
+        deserialize_chain,
+    )
+
+    blob, params = r.serialize(IM_HW, ENV_RC, fov=57.0, batch=2)
+    assert isinstance(blob, bytes) and len(blob) > 0
+    served = deserialize_chain(blob)(params, im2, small2)
+    np.testing.assert_allclose(
+        np.asarray(served["light"]["c_light"]),
+        np.asarray(out2["light"]["c_light"]),
+        rtol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(served["preds"][-1]["albedo"]),
+        np.asarray(out2["preds"][-1]["albedo"]),
+        atol=1e-6,
+    )
