@@ -191,10 +191,27 @@ def main(argv=None):
         fused=opt.fused,
     )
 
-    for im_path in im_list:
+    # Decode/resize the NEXT photo on host threads while the device runs
+    # the current one (the reference loop is strictly serial,
+    # testReal.py:285-343); lookahead 2 bounds host memory.
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=2)
+
+    def _load(p):
+        return load_real_image(
+            p, (opt.imHeight, opt.imWidth), (opt.envRow, opt.envCol)
+        )
+
+    pending = deque(pool.submit(_load, p) for p in im_list[:2])
+    for idx, im_path in enumerate(im_list):
         name = osp.splitext(osp.basename(im_path))[0]
-        result = renderer.render_file(
-            im_path, (opt.imHeight, opt.imWidth), (opt.envRow, opt.envCol)
+        im_np, im_small_np, fov = pending.popleft().result()
+        if idx + 2 < len(im_list):
+            pending.append(pool.submit(_load, im_list[idx + 2]))
+        result = renderer(
+            jax.numpy.asarray(im_np), jax.numpy.asarray(im_small_np), fov
         )
         all_preds = result["preds"]
         light_out = result["light"]
@@ -292,6 +309,7 @@ def main(argv=None):
             np.save(out(f"{name}_depthBs{lvl}.npy"),
                     np.asarray(bs_out["depth"][0]))
         print(f"done {im_path} -> {opt.output}/{name}_*")
+    pool.shutdown()
 
 
 if __name__ == "__main__":
