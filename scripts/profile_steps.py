@@ -48,7 +48,26 @@ def timeit(fn, *args, iters=10):
 MXU_PEAK = {"bfloat16": 197e12, "float32": 49e12}
 
 
-def build_step(stage, dtype, cascade=0):
+def photo_like(batch, h, w):
+    """Replace the random synthetic images with a piecewise-smooth
+    photo-like input (bench_inference's recipe): per-pixel noise is the
+    bilateral grid's worst case, which no real photo resembles."""
+    rng = np.random.RandomState(0)
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = np.stack(
+        [xx / w, yy / h, 0.5 + 0.3 * np.sin(xx / 40.0) * np.cos(yy / 30.0)],
+        axis=-1,
+    )
+    im = np.clip(base + rng.randn(h, w, 3) * 0.015, 0.0, 1.0)
+    b = batch["im"].shape[0]
+    batch = dict(batch)
+    batch["im"] = jnp.asarray(
+        np.broadcast_to(im, (b, h, w, 3)), batch["im"].dtype
+    )
+    return batch
+
+
+def build_step(stage, dtype, cascade=0, v_max="full", photo=False):
     from inverserenderingofindoorscene_tpu.data.synthetic import synthetic_batch
     from inverserenderingofindoorscene_tpu.pipeline.brdf import BRDFNets
     from inverserenderingofindoorscene_tpu.pipeline.light import LightNets
@@ -83,6 +102,38 @@ def build_step(stage, dtype, cascade=0):
         sp = bs_nets.init(jax.random.PRNGKey(1), (240, 320))
         batch = synthetic_batch(batch=2, im_hw=(240, 320),
                                 env_rc=(120, 160), cascade_level=cascade)
+        if photo:
+            batch = photo_like(batch, 240, 320)
+        if v_max == "auto":
+            # the capacity the CLI's auto dispatch would pick for THIS
+            # batch: count occupied grid cells on the frozen-BRDF guide
+            from inverserenderingofindoorscene_tpu.ops.bilateral import (
+                MODE_PARAMS,
+                bucket_capacity,
+                count_vertices,
+            )
+            from inverserenderingofindoorscene_tpu.pipeline.bilateral import (
+                normalized_guide,
+            )
+            from inverserenderingofindoorscene_tpu.pipeline.brdf import (
+                brdf_forward,
+            )
+
+            @jax.jit
+            def _counts(b):
+                preds = brdf_forward(brdf_nets, bp, b)
+                g = normalized_guide(preds["albedo"])
+                return jnp.stack(
+                    [jnp.max(count_vertices(g, MODE_PARAMS[m]))
+                     for m in (0, 2, 4)]
+                )
+
+            nvert = int(np.asarray(_counts(batch)).max())
+            cap = bucket_capacity(nvert, 240 * 320)
+            log(f"auto vMax: nvert={nvert} -> bucket={cap} (of {240 * 320})")
+            bs_nets = BilateralNets(v_max=cap)
+        elif v_max != "full":
+            bs_nets = BilateralNets(v_max=int(v_max))
         step = jax.jit(
             make_bilateral_train_step(brdf_nets, bs_nets, bp),
             donate_argnums=(0,),
@@ -181,6 +232,11 @@ def main():
     ap.add_argument("--dtype", default="both")
     ap.add_argument("--trace", action="store_true")
     ap.add_argument("--logdir", default="/tmp/step_trace")
+    ap.add_argument("--vMax", default="full",
+                    help="bilateral stage only: 'full', 'auto', or int")
+    ap.add_argument("--photoLike", action="store_true",
+                    help="bilateral stage: piecewise-smooth input instead "
+                         "of per-pixel noise (the grid's worst case)")
     opt = ap.parse_args()
 
     stages = ["brdf", "light"] if opt.stage == "both" else [opt.stage]
@@ -189,7 +245,8 @@ def main():
     )
     for stage in stages:
         for dtype in dtypes:
-            step, state, batch = build_step(stage, dtype, opt.cascade)
+            step, state, batch = build_step(stage, dtype, opt.cascade,
+                                            opt.vMax, opt.photoLike)
             flops = cost_flops(step, state, batch)
             # donated state: rebuild per timing call chain
             state2, _ = step(state, batch)
