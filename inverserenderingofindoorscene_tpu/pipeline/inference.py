@@ -369,7 +369,7 @@ class InverseRenderer:
 
     def __init__(self, stacks, *, is_light=True, is_bs=False,
                  bs_params=None, v_max="auto", use_pallas=False,
-                 fused=False):
+                 fused=False, param_sharding=None):
         self.level = len(stacks)
         assert self.level in (1, 2), self.level
         self.is_light = is_light
@@ -377,9 +377,14 @@ class InverseRenderer:
         self.fused = fused
 
         nets = [(s[0], s[2]) for s in stacks]
-        params = tuple(
-            jax.device_put(p) for s in stacks for p in (s[1], s[3])
+        # param_sharding: e.g. parallel.mesh.replicated(mesh) for
+        # data-parallel serving — GSPMD then shards the chain over the
+        # mesh from the inputs' shardings alone
+        _put = (
+            (lambda p: jax.device_put(p, param_sharding))
+            if param_sharding is not None else jax.device_put
         )
+        params = tuple(_put(p) for s in stacks for p in (s[1], s[3]))
         self._nets = nets
         self._params = params
         self._use_pallas = use_pallas

@@ -203,3 +203,49 @@ def test_light_step_matches_across_mesh():
         np.testing.assert_allclose(
             float(m1[k]), float(m8[k]), rtol=5e-4, err_msg=k
         )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_fused_inference_matches_across_mesh():
+    """Data-parallel serving: the fused whole-chain inference program with
+    the batch sharded over the mesh's data axis must reproduce the
+    single-device per-image results (incl. the per-image cLight fits)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from inverserenderingofindoorscene_tpu.pipeline.inference import (
+        InverseRenderer,
+    )
+
+    brdf_nets = BRDFNets(cascade_level=0)
+    light_nets = LightNets(
+        cascade_level=0, env_rows=ENV_RC[0], env_cols=ENV_RC[1]
+    )
+    bp = brdf_nets.init(jax.random.PRNGKey(0), IM_HW)
+    lp = light_nets.init(jax.random.PRNGKey(1))
+    stacks = [(brdf_nets, bp, light_nets, lp)]
+
+    rng = np.random.RandomState(11)
+    im = jnp.asarray(rng.rand(4, *IM_HW, 3).astype(np.float32) ** 2.2)
+    small = jnp.asarray(rng.rand(4, *ENV_RC, 3).astype(np.float32) ** 2.2)
+
+    out1 = InverseRenderer(stacks, is_light=True, fused=True)(im, small)
+
+    mesh = make_mesh(jax.devices()[:8], tile=2)
+    with jax.set_mesh(mesh):
+        r8 = InverseRenderer(
+            stacks, is_light=True, fused=True,
+            param_sharding=replicated(mesh),
+        )
+        data_sh = NamedSharding(mesh, P("data"))
+        out8 = r8(jax.device_put(im, data_sh), jax.device_put(small, data_sh))
+
+    np.testing.assert_allclose(
+        np.asarray(out8["light"]["c_light"]),
+        np.asarray(out1["light"]["c_light"]),
+        rtol=5e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out8["preds"][-1]["albedo"]),
+        np.asarray(out1["preds"][-1]["albedo"]),
+        atol=2e-5,
+    )
