@@ -54,7 +54,6 @@ def log(msg: str) -> None:
     print(f"[{time.time() - T0:6.1f}s] {msg}", file=sys.stderr, flush=True)
 
 
-import json as _json  # noqa: E402
 import threading  # noqa: E402
 
 # ---- stage 0: backend watchdog (NO jax-touching imports above this) -----
@@ -69,7 +68,7 @@ _WATCHDOG_S = float(os.environ.get("BENCH_BACKEND_WATCHDOG_S", "150"))
 
 def _backend_timeout():
     print(
-        _json.dumps({
+        json.dumps({
             "metric": "sg_shading_fwd_bwd_throughput",
             "value": None,
             "unit": "Mpixels/s/chip",

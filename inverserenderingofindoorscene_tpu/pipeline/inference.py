@@ -238,7 +238,13 @@ def bs_prep(im, preds, bs_params=None):
     Returns (guide, targets dict, confs dict)."""
     h, w = im.shape[1:3]
     guide = preds["albedo"]
-    gmax = jnp.clip(jnp.max(guide), 1e-5, 1.0)
+    # per-image max (identical at the reference driver's B=1,
+    # BilateralLayer.py:250-253; keeps batched refinement independent
+    # across the batch)
+    gmax = jnp.clip(
+        jnp.max(guide, axis=tuple(range(1, guide.ndim)), keepdims=True),
+        1e-5, 1.0,
+    )
     guide = guide / gmax
     targets = {
         "albedo": preds["albedo"],
@@ -246,7 +252,7 @@ def bs_prep(im, preds, bs_params=None):
         "depth": preds["depth"],
     }
     if bs_params is None:
-        ones = jnp.ones((1, h, w, 1), jnp.float32)
+        ones = jnp.ones((im.shape[0], h, w, 1), jnp.float32)
         confs = {"albedo": ones, "rough": ones, "depth": ones}
     else:
         from inverserenderingofindoorscene_tpu.models.bilateral_net import (
@@ -485,6 +491,12 @@ class InverseRenderer:
             out = self._chain(im, im_small, fov)
             all_preds, light_out = out["preds"], out["light"]
         else:
+            if (self.is_light or self.level == 2) and im.shape[0] != 1:
+                raise ValueError(
+                    "staged mode fits one global cLight/cAlbedo scale "
+                    "(the reference driver's strictly-B1 semantics); use "
+                    "fused=True for batched serving with per-image scales"
+                )
             preds = self._brdf0(im)
             all_preds = [preds]
             light_out = None

@@ -81,13 +81,11 @@ def main():
 
     fov = 57.0
 
-    # One jit per stage, exactly like cli/test_real.py:326-356 — a single
-    # whole-chain program exceeds the remote compile service's request
-    # size limit (HTTP 413), and the per-stage split is what the real
-    # driver runs anyway.  Stages chain asynchronously; only the final
-    # fetch synchronizes.
-    # Params are jit ARGUMENTS (closed-over arrays embed as HLO constants
-    # and blow the remote compile service's request size limit, HTTP 413).
+    # Staged mode: one jit per stage, exactly like cli/test_real.py — the
+    # per-stage split is what the staged driver runs.  Stages chain
+    # asynchronously; only the final fetch synchronizes.  Params are jit
+    # ARGUMENTS (closed-over arrays embed as HLO constants and blow the
+    # remote compile service's request size limit, HTTP 413).
     @jax.jit
     def stage0(bp, lp, im):
         im_small = adaptive_avg_pool(im, (er, ec))
@@ -114,9 +112,6 @@ def main():
         )
         return preds1, light1
 
-    jit_bs = make_bs_fn(None, opt.v_max)
-    bp0, lp0, bp1, lp1 = jax.device_put((bp0, lp0, bp1, lp1))
-
     if opt.fused:
         from inverserenderingofindoorscene_tpu.pipeline.inference import (
             InverseRenderer,
@@ -137,6 +132,9 @@ def main():
                     "sg": out["light"]["sg_flat"],
                     **({"refined": out["refined"]} if not opt.no_bs else {})}
     else:
+        jit_bs = make_bs_fn(None, opt.v_max)
+        bp0, lp0, bp1, lp1 = jax.device_put((bp0, lp0, bp1, lp1))
+
         def chain(im):
             im_small, preds0, light0 = stage0(bp0, lp0, im)
             preds1, light1 = stage1(bp1, lp1, im, im_small, preds0, light0)

@@ -271,6 +271,24 @@ def test_fused_chain_matches_staged():
         float(out2["light"]["c_light"][1]),
     ), "distinct images should get distinct per-image scales"
 
+    # the staged path fits ONE global scale (reference B1 semantics) and
+    # must reject batches instead of silently blending them
+    with pytest.raises(ValueError, match="fused=True"):
+        InverseRenderer(stacks, is_light=True)(im2, small2, 57.0)
+
+    # batched bilateral refinement: per-image guide normalization and
+    # unit confidences — B2 must reproduce the two B1 runs
+    rb = InverseRenderer(stacks, is_light=True, is_bs=True, fused=True,
+                         v_max="full")
+    ref2 = rb(im2, small2, 57.0)["refined"]
+    for i in range(2):
+        ref1 = rb(im2[i : i + 1], small2[i : i + 1], 57.0)["refined"]
+        for k in ("albedo", "rough", "depth"):
+            np.testing.assert_allclose(
+                np.asarray(ref2[k][i]), np.asarray(ref1[k][0]),
+                atol=1e-5, err_msg=f"{k} image {i}",
+            )
+
     # AOT deployment artifact: serialize the fused chain (jax.export
     # StableHLO), rehydrate WITHOUT the model objects, compare outputs
     from inverserenderingofindoorscene_tpu.pipeline.inference import (
