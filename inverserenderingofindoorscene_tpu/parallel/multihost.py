@@ -11,6 +11,7 @@ its local shard of the batch through
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -35,6 +36,35 @@ def initialize(coordinator: Optional[str] = None,
     except RuntimeError as e:  # already initialized
         if "already" not in str(e):
             raise
+
+
+def initialize_cpu_cluster(coordinator: str, num_processes: int,
+                           process_id: int, local_devices: int = 4,
+                           collectives: str = "gloo") -> None:
+    """Wire a multi-PROCESS CPU cluster — the no-pod validation path.
+
+    Gives this process the same world a real pod run gets from
+    ``initialize()``: ``num_processes`` cooperating processes with
+    ``local_devices`` devices each (``jax.process_index() == process_id``,
+    ``len(jax.devices()) == num_processes * local_devices``), with
+    cross-process collectives over gloo standing in for DCN. Must run
+    before the JAX backend initializes; forces the platform to cpu (the
+    container's sitecustomize pins the single-chip axon TPU backend).
+
+    Used by tests/test_multiprocess.py to execute the training step as a
+    genuine multi-process SPMD program — each process feeding only its
+    ``local_batch_slice`` through ``global_batch_from_local`` — rather
+    than the single-process 8-virtual-device mesh the rest of the suite
+    uses."""
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", local_devices)
+    jax.config.update("jax_cpu_collectives_implementation", collectives)
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
 
 
 def global_batch_from_local(local_batch: dict, mesh: Mesh,
