@@ -168,7 +168,13 @@ def cost_flops(step, state, batch):
 CATEGORIES = (
     ("conv", ("conv", "cudnn")),
     ("matmul", ("dot", "einsum")),
-    ("pallas", ("sg_", "custom-call", "tpu_custom_call")),
+    # The Pallas tpu_custom_call ops inherit their HLO op names from the
+    # custom_vjp trace scopes: the fwd kernels surface as "jvp__.N" and the
+    # bwd kernels as "transpose_jvp___.N" (verified against the compiled
+    # light-step HLO: every custom_call_target="tpu_custom_call" op carries
+    # one of those names).  Match them BEFORE the copy/transpose bucket or
+    # the backward kernels land there and pallas reads 0.00 ms.
+    ("pallas", ("sg_", "custom-call", "tpu_custom_call", "jvp__")),
     ("resize/pool", ("resize", "reduce-window", "gather", "pad", "slice")),
     ("norm/elemwise", ("fusion",)),
     ("copy/transpose", ("copy", "transpose", "bitcast", "reshape")),
