@@ -67,7 +67,11 @@ def photo_like(batch, h, w):
     return batch
 
 
-def build_step(stage, dtype, cascade=0, v_max="full", photo=False):
+def build_step(stage, dtype, cascade=0, v_max="full", photo=False,
+               batch_size=None):
+    """batch_size=None keeps each stage's reference operating point
+    (brdf 16, light 5, bilateral 2); override it to measure how the
+    glue-bound steps amortize per-op fixed costs at larger batches."""
     from inverserenderingofindoorscene_tpu.data.synthetic import synthetic_batch
     from inverserenderingofindoorscene_tpu.pipeline.brdf import BRDFNets
     from inverserenderingofindoorscene_tpu.pipeline.light import LightNets
@@ -81,7 +85,7 @@ def build_step(stage, dtype, cascade=0, v_max="full", photo=False):
     if stage == "brdf":
         nets = BRDFNets(cascade_level=cascade, compute_dtype=dtype)
         params = nets.init(jax.random.PRNGKey(0), (240, 320))
-        batch = synthetic_batch(batch=16, im_hw=(240, 320),
+        batch = synthetic_batch(batch=batch_size or 16, im_hw=(240, 320),
                                 env_rc=(120, 160), cascade_level=cascade)
         step = jax.jit(make_brdf_train_step(nets), donate_argnums=(0,))
         state = create_train_state(params, reference_adam(1e-4))
@@ -100,7 +104,7 @@ def build_step(stage, dtype, cascade=0, v_max="full", photo=False):
         bs_nets = BilateralNets()
         bp = brdf_nets.init(jax.random.PRNGKey(0), (240, 320))
         sp = bs_nets.init(jax.random.PRNGKey(1), (240, 320))
-        batch = synthetic_batch(batch=2, im_hw=(240, 320),
+        batch = synthetic_batch(batch=batch_size or 2, im_hw=(240, 320),
                                 env_rc=(120, 160), cascade_level=cascade)
         if photo:
             batch = photo_like(batch, 240, 320)
@@ -144,8 +148,8 @@ def build_step(stage, dtype, cascade=0, v_max="full", photo=False):
     light_nets = LightNets(cascade_level=cascade, compute_dtype=dtype)
     bp = brdf_nets.init(jax.random.PRNGKey(0), (240, 320))
     lp = light_nets.init(jax.random.PRNGKey(1))
-    batch = synthetic_batch(batch=5, im_hw=(240, 320), env_rc=(120, 160),
-                            cascade_level=cascade)
+    batch = synthetic_batch(batch=batch_size or 5, im_hw=(240, 320),
+                            env_rc=(120, 160), cascade_level=cascade)
     step = jax.jit(
         make_light_train_step(brdf_nets, light_nets, bp, use_pallas=True),
         donate_argnums=(0,),
@@ -243,6 +247,9 @@ def main():
     ap.add_argument("--photoLike", action="store_true",
                     help="bilateral stage: piecewise-smooth input instead "
                          "of per-pixel noise (the grid's worst case)")
+    ap.add_argument("--batch", type=int, default=None,
+                    help="override the stage's reference batch size "
+                         "(brdf 16, light 5, bilateral 2)")
     opt = ap.parse_args()
 
     stages = ["brdf", "light"] if opt.stage == "both" else [opt.stage]
@@ -252,7 +259,8 @@ def main():
     for stage in stages:
         for dtype in dtypes:
             step, state, batch = build_step(stage, dtype, opt.cascade,
-                                            opt.vMax, opt.photoLike)
+                                            opt.vMax, opt.photoLike,
+                                            opt.batch)
             flops = cost_flops(step, state, batch)
             # donated state: rebuild per timing call chain
             state2, _ = step(state, batch)
@@ -265,8 +273,10 @@ def main():
             fence(metrics)
             ms = (time.perf_counter() - t0) / iters * 1e3
             frac = flops / (ms / 1e3) / MXU_PEAK[dtype] if flops else 0.0
+            bsz = batch["im"].shape[0]
             log(f"{stage:<6} {dtype:<9} {ms:7.1f} ms/step   "
-                f"XLA flops {flops/1e9:6.1f} G   MXU frac {frac*100:5.1f}%")
+                f"XLA flops {flops/1e9:6.1f} G   MXU frac {frac*100:5.1f}%   "
+                f"B{bsz}: {bsz / (ms / 1e3):6.1f} img/s")
             if opt.trace:
                 from inverserenderingofindoorscene_tpu.utils.profiling import (
                     trace,
