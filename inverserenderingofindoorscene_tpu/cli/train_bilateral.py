@@ -46,7 +46,14 @@ def _auto_vmax_dispatch(opt, brdf_nets, brdf_params, jit_step):
     the frozen BRDF nets, so one small extra jitted forward counts the
     occupied grid cells for the three modes and the batch dispatches to a
     step compiled at the smallest ladder capacity that holds them — exact
-    (no cells merge) with a bounded number of step compiles."""
+    (no cells merge) with a bounded number of step compiles.
+
+    Edge capacity (the compact-blur link list) is validated AFTER the
+    fact: the step returns the true nvert/nedges maxima as metrics, and
+    a batch whose counts overflowed the current buckets is re-run at the
+    bumped capacity (results of the overflowed run are discarded), so
+    every accepted step is exact.  Steady state pays zero extra cost and
+    the retry path costs at most one recompile per bucket bump."""
     import jax.numpy as jnp
     import numpy as np
 
@@ -54,6 +61,7 @@ def _auto_vmax_dispatch(opt, brdf_nets, brdf_params, jit_step):
         MODE_PARAMS,
         bucket_capacity,
         count_vertices,
+        edge_bucket,
     )
     from inverserenderingofindoorscene_tpu.pipeline.bilateral import (
         normalized_guide,
@@ -72,13 +80,30 @@ def _auto_vmax_dispatch(opt, brdf_nets, brdf_params, jit_step):
         )
 
     steps = {}
+    ecap_of = {}  # v_cap -> edge bucket for the NEXT batch
+    seen_edges = {}  # v_cap -> running max of observed nedges
 
     def step_fn(state, batch):
         nvert = int(np.asarray(jit_counts(batch)).max())
-        cap = bucket_capacity(nvert, n_pixels)
-        if cap not in steps:
-            steps[cap] = jit_step(BilateralNets(v_max=cap))
-        return steps[cap](state, batch)
+        vcap = bucket_capacity(nvert, n_pixels)
+        # First batch at this v_cap: a 2*nvert guess (only its exactness
+        # matters — the accepted run's TRUE count immediately tightens
+        # the bucket for all subsequent batches).
+        ecap = ecap_of.get(vcap, edge_bucket(2 * nvert, vcap))
+        while True:
+            key = (vcap, ecap)
+            if key not in steps:
+                steps[key] = jit_step(
+                    BilateralNets(v_max=vcap, e_max=ecap), donate=False
+                )
+            new_state, metrics = steps[key](state, batch)
+            nedges = int(metrics["nedges_max"])
+            if nedges <= ecap:
+                seen = max(seen_edges.get(vcap, 0), nedges)
+                seen_edges[vcap] = seen
+                ecap_of[vcap] = edge_bucket(seen, vcap)
+                return new_state, metrics
+            ecap = edge_bucket(nedges, vcap)
 
     return step_fn
 
@@ -105,14 +130,16 @@ def main(argv=None):
                                         state)
         start_epoch = resume + 1
 
-    def jit_step(nets):
+    def jit_step(nets, donate=True):
+        # No donation under auto dispatch: an edge-bucket overflow re-runs
+        # the batch with the SAME state, which donation would invalidate.
         return jax.jit(
             make_bilateral_train_step(
                 brdf_nets, nets, brdf_params,
                 albedo_w=opt.albedoWeight, rough_w=opt.roughWeight,
                 depth_w=opt.depthWeight,
             ),
-            donate_argnums=(0,),
+            donate_argnums=(0,) if donate else (),
         )
 
     if opt.vMax == "auto":

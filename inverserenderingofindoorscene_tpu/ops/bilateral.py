@@ -57,13 +57,23 @@ class BilateralGrid(NamedTuple):
     """Static-shape bilateral grid for ONE image.
 
     vert_of_pixel: [N] int32 vertex id per pixel.
-    nbr: [2*DIM, V] int32 neighbor vertex id per (dim, +-1), -1 if absent.
+    nbr: int32 neighbor vertex ids, -1 if absent.  Dense mode: [2*DIM, V],
+        one row per (dim, +-1).  Edge mode: [2, V] — only the two +-v roll
+        rows; the eight gather directions live in the compact edge list.
     valid: [V] float32 1.0 for real vertices.
+    edge_src/edge_dst: [E] int32 compact (src -> dst) links for the eight
+        gather directions, padded with (0, v_max); None in dense mode.
+    edge_count: [] int32 TRUE number of links (may exceed E — the caller's
+        capacity bucket must hold it for the blur to be exact); None in
+        dense mode.
     """
 
     vert_of_pixel: jnp.ndarray
     nbr: jnp.ndarray
     valid: jnp.ndarray
+    edge_src: jnp.ndarray = None
+    edge_dst: jnp.ndarray = None
+    edge_count: jnp.ndarray = None
 
     @property
     def v_max(self):
@@ -126,14 +136,56 @@ _SENT_REAL = jnp.int32(2**30 + 2)  # invalid real vertex rows
 _SENT_QUERY = jnp.int32(2**30 + 1)  # hidden query rows (!= _SENT_REAL)
 
 
+def _blocked_scan(op, identity, x, block: int = 4608):
+    """1-D inclusive scan as a 2-D row scan + row-total offsets.
+
+    XLA's 1-D cumulative-op lowering costs ~50 ms (cumsum) / ~12 ms
+    (cummax) at the ~700k-row neighbor-join length on v5e; scanning the
+    rows of a [R, block] reshape and combining with the scanned row
+    totals is ~6x faster and exact (op must be associative)."""
+    n = x.shape[0]
+    pad = (-n) % block
+    if pad:
+        x = jnp.concatenate([x, jnp.full((pad,), identity, x.dtype)])
+    x2 = x.reshape(-1, block)
+    rows = op(x2, axis=1)
+    totals = op(rows[:, -1], axis=0)
+    offs = jnp.concatenate(
+        [jnp.full((1,), identity, x.dtype), totals[:-1]]
+    )
+    if op is jnp.cumsum:
+        out = rows + offs[:, None]
+    else:
+        out = jnp.maximum(rows, offs[:, None])
+    return out.reshape(-1)[:n]
+
+
+def _cumsum1d(x):
+    return _blocked_scan(jnp.cumsum, 0, x)
+
+
+def _cummax1d(x):
+    return _blocked_scan(
+        jax.lax.cummax, jnp.iinfo(jnp.int32).min, x
+    )
+
+
 def build_grid(
     image_rgb: jnp.ndarray,
     sigma_spatial: float,
     sigma_luma: float,
     sigma_chroma: float,
     v_max: int,
+    e_max: int = None,
 ) -> BilateralGrid:
-    """Build the grid for one [H, W, 3] image (values scaled to 0..255)."""
+    """Build the grid for one [H, W, 3] image (values scaled to 0..255).
+
+    ``e_max``: optional static capacity for a COMPACT edge list of the
+    eight gather-direction neighbor links.  Real guides occupy few of the
+    10 potential links per vertex (random-noise worst cases occupy almost
+    none), so the blur's gather rows shrink from 8*V to edge_count when
+    the capacity holds — see :func:`blur`.  None keeps the dense [10, V]
+    neighbor tables."""
     h, w = image_rgb.shape[:2]
     widths = _pack_widths(h, w, sigma_spatial, sigma_luma, sigma_chroma)
     _, by, _, bu, bv = widths
@@ -147,7 +199,7 @@ def build_grid(
     )
     is_new = (s1 != jnp.roll(s1, 1)) | (s2 != jnp.roll(s2, 1))
     is_new = is_new.at[0].set(True)
-    vid_sorted = jnp.cumsum(is_new.astype(jnp.int32)) - 1
+    vid_sorted = _cumsum1d(is_new.astype(jnp.int32)) - 1
     # Capacity clamp: cells beyond v_max all merge into the LAST vertex.
     # The default capacity (one vertex per pixel, BilateralNets.v_max
     # None -> H*W) can never overflow; a user-set smaller v_max trades
@@ -230,12 +282,41 @@ def build_grid(
     ridx = jnp.arange(m, dtype=jnp.int32)
     run_new = (s1a != jnp.roll(s1a, 1)) | (sk2 != jnp.roll(sk2, 1))
     run_new = run_new.at[0].set(True)
-    run_start = jax.lax.cummax(jnp.where(run_new, ridx, 0))
+    run_start = _cummax1d(jnp.where(run_new, ridx, 0))
     leader_tag = stag[run_start]
     leader_pay = spay[run_start]
 
     is_q = stag == 1
     match = is_q & (leader_tag == 0)
+
+    if e_max is not None:
+        # Compact edge list: matched query rows ARE the links (src = run
+        # leader's vertex id, dst = the query's own vertex id).  One
+        # cumsum assigns each link its slot; one [m, 2]-payload scatter
+        # writes (scatter cost is per ROW, width is free).  Overflowing
+        # links land in the sacrificial row e_max and are sliced off —
+        # callers check edge_count <= e_max for exactness.
+        epos = _cumsum1d(match.astype(jnp.int32)) - 1
+        dstq = spay % v_max  # query payload = j*v_max + dst vertex id
+        write = match & (epos < e_max)
+        slot = jnp.where(write, epos, e_max)
+        payload2 = jnp.stack(
+            [jnp.where(write, leader_pay, 0), jnp.where(write, dstq, v_max)],
+            axis=1,
+        )
+        buf = jnp.concatenate(
+            [jnp.zeros((e_max + 1, 1), jnp.int32),
+             jnp.full((e_max + 1, 1), v_max, jnp.int32)], axis=1
+        ).at[slot].set(payload2)
+        return BilateralGrid(
+            vert_of_pixel=vert_of_pixel,
+            nbr=jnp.stack([nbr_vm, nbr_vp]),
+            valid=valid,
+            edge_src=buf[:e_max, 0],
+            edge_dst=buf[:e_max, 1],
+            edge_count=jnp.sum(match.astype(jnp.int32)),
+        )
+
     slot = jnp.where(is_q, spay, m)  # == j*v_max + v; non-query rows dropped
     nbr_flat = jnp.full((n_join * v_max,), -1, jnp.int32)
     nbr_flat = nbr_flat.at[slot].set(
@@ -271,20 +352,32 @@ def blur(grid: BilateralGrid, y: jnp.ndarray) -> jnp.ndarray:
     v5e) and dominate the whole solver, so the two +-v directions use the
     build-time guarantee that their neighbors are ADJACENT rows of the
     key-sorted vertex array: masked rolls on the VPU instead of gathers.
-    The other eight directions have no such structure and stay gathers."""
+
+    The other eight directions have no such structure.  Dense mode pays
+    8 V-row gathers; edge mode (build_grid with e_max) pays one
+    edge_count-row gather + one scatter-add over only the links that
+    EXIST — most of the 10 potential links per vertex don't (random
+    noise: almost none; real photos: a fraction), so this is the
+    dominant row-count reduction of the whole solver."""
     out = 2.0 * DIM * y
-    for i in range(2 * DIM - 2):
-        idx = grid.nbr[i]
-        contrib = jnp.where((idx >= 0)[:, None], y[jnp.maximum(idx, 0)], 0.0)
-        out = out + contrib
-    # v-1 / v+1: adjacent-row links (nbr[8][i] in {-1, i-1}, nbr[9][i] in
+    if grid.edge_src is not None:
+        contrib = jax.ops.segment_sum(
+            y[grid.edge_src], grid.edge_dst, num_segments=grid.v_max + 1
+        )
+        out = out + contrib[:-1]
+        vm, vp = grid.nbr[0], grid.nbr[1]
+    else:
+        for i in range(2 * DIM - 2):
+            idx = grid.nbr[i]
+            contrib = jnp.where(
+                (idx >= 0)[:, None], y[jnp.maximum(idx, 0)], 0.0
+            )
+            out = out + contrib
+        vm, vp = grid.nbr[2 * DIM - 2], grid.nbr[2 * DIM - 1]
+    # v-1 / v+1: adjacent-row links (vm[i] in {-1, i-1}, vp[i] in
     # {-1, i+1} by construction in build_grid)
-    out = out + jnp.where(
-        (grid.nbr[2 * DIM - 2] >= 0)[:, None], jnp.roll(y, 1, axis=0), 0.0
-    )
-    out = out + jnp.where(
-        (grid.nbr[2 * DIM - 1] >= 0)[:, None], jnp.roll(y, -1, axis=0), 0.0
-    )
+    out = out + jnp.where((vm >= 0)[:, None], jnp.roll(y, 1, axis=0), 0.0)
+    out = out + jnp.where((vp >= 0)[:, None], jnp.roll(y, -1, axis=0), 0.0)
     return out
 
 
@@ -427,31 +520,62 @@ def _solve_image_grad(grid, nm, g_out, conf, target, yhat, params: BSParams):
     return grad_target, grad_conf
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def bilateral_solve(feature, target, conf, params: BSParams, v_max: int):
+def _stats_of(grid: BilateralGrid) -> dict:
+    """Per-image occupancy stats of a (vmapped) grid: true vertex and edge
+    counts, for callers to validate their static capacity buckets."""
+    nvert = jnp.sum(grid.valid, axis=-1).astype(jnp.int32)
+    nedges = (
+        grid.edge_count
+        if grid.edge_count is not None
+        else jnp.zeros_like(nvert)
+    )
+    return {"nvert": nvert, "nedges": nedges}
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _bilateral_solve_core(feature, target, conf, params: BSParams,
+                          v_max: int, e_max):
+    xhat, _, grid, _ = _bs_fwd_impl(feature, target, conf, params, v_max,
+                                    e_max)
+    return xhat, _stats_of(grid)
+
+
+def bilateral_solve(feature, target, conf, params: BSParams, v_max: int,
+                    e_max: int = None):
     """Differentiable bilateral solve, batched NHWC.
 
     feature [B,H,W,3]: guide image for the grid (scaled *255 inside, like
     BilateralLayer.py:52); target [B,H,W,C]: signal to refine;
     conf [B,H,W,1]: per-pixel confidence. Gradients flow to target and
     conf only (the reference's BilateralFunction returns None for image).
+    ``e_max``: optional static edge capacity (see :func:`build_grid`).
     Returns refined [B,H,W,C].
     """
-    return _bs_fwd_impl(feature, target, conf, params, v_max)[0]
+    return _bilateral_solve_core(feature, target, conf, params, v_max,
+                                 e_max)[0]
 
 
-def _grid_of(feature, params, v_max):
+def bilateral_solve_stats(feature, target, conf, params: BSParams,
+                          v_max: int, e_max: int = None):
+    """Like :func:`bilateral_solve` but also returns the per-image grid
+    occupancy stats {nvert, nedges} so capacity-bucketed callers can
+    check ``nvert <= v_max and nedges <= e_max`` (exactness) from the
+    step outputs instead of paying a separate counting pass."""
+    return _bilateral_solve_core(feature, target, conf, params, v_max, e_max)
+
+
+def _grid_of(feature, params, v_max, e_max=None):
     return build_grid(
         feature * 255.0, params.sigma_spatial, params.sigma_luma,
-        params.sigma_chroma, v_max,
+        params.sigma_chroma, v_max, e_max,
     )
 
 
-def _bs_fwd_impl(feature, target, conf, params, v_max):
+def _bs_fwd_impl(feature, target, conf, params, v_max, e_max):
     b, h, w, c = target.shape
 
     def one(feat_i, tgt_i, conf_i):
-        grid = _grid_of(feat_i, params, v_max)
+        grid = _grid_of(feat_i, params, v_max, e_max)
         nm = bistochastize(grid)
         xhat, yhat = _solve_image(
             grid, tgt_i.reshape(-1, c), conf_i.reshape(-1, 1), params, nm=nm
@@ -461,16 +585,18 @@ def _bs_fwd_impl(feature, target, conf, params, v_max):
     return jax.vmap(one)(feature, target, conf)
 
 
-def _bs_fwd(feature, target, conf, params, v_max):
-    xhat, yhat, grid, nm = _bs_fwd_impl(feature, target, conf, params, v_max)
+def _bs_fwd(feature, target, conf, params, v_max, e_max):
+    xhat, yhat, grid, nm = _bs_fwd_impl(feature, target, conf, params, v_max,
+                                        e_max)
     # The grid (int index tables) and its bistochastization are residuals:
     # the backward's only heavy work is then its own PCG solve — round 1
     # rebuilt both from scratch (11 sorts + 10 blurs) every backward.
-    return xhat, (feature, target, conf, yhat, grid, nm)
+    return (xhat, _stats_of(grid)), (feature, target, conf, yhat, grid, nm)
 
 
-def _bs_bwd(params, v_max, res, g):
+def _bs_bwd(params, v_max, e_max, res, g):
     feature, target, conf, yhat, grid, nm = res
+    g_xhat = g[0]  # g[1] is the int stats cotangent (symbolic zero)
     b, h, w, c = target.shape
 
     def one(grid_i, nm_i, g_i, conf_i, tgt_i, yhat_i):
@@ -485,11 +611,11 @@ def _bs_bwd(params, v_max, res, g):
         )
         return gt.reshape(h, w, c), gc.reshape(h, w, 1)
 
-    gt, gc = jax.vmap(one)(grid, nm, g, conf, target, yhat)
+    gt, gc = jax.vmap(one)(grid, nm, g_xhat, conf, target, yhat)
     return (jnp.zeros_like(feature), gt, gc)
 
 
-bilateral_solve.defvjp(_bs_fwd, _bs_bwd)
+_bilateral_solve_core.defvjp(_bs_fwd, _bs_bwd)
 
 
 # ---------------------------------------------------------------------------
@@ -535,6 +661,18 @@ def bucket_capacity(nvert: int, n_pixels: int,
         if cap >= nvert:
             return cap
     return n_pixels
+
+
+def edge_bucket(nedges: int, v_max: int, min_cap: int = 1024) -> int:
+    """Static edge capacity: smallest power of two >= nedges (>= min_cap),
+    capped at the 8*v_max upper bound of the eight gather directions.
+    Power-of-two rounding bounds the number of distinct jit signatures at
+    ~13 while keeping the blur's gather/scatter rows near the true link
+    count."""
+    full = 8 * v_max
+    cap = max(int(nedges), min_cap)
+    cap = 1 << (cap - 1).bit_length()
+    return min(cap, full)
 
 
 class BucketedSolver:

@@ -22,16 +22,23 @@ from inverserenderingofindoorscene_tpu.losses.masked import masked_sq_sum
 from inverserenderingofindoorscene_tpu.models.bilateral_net import ConfidenceNet
 from inverserenderingofindoorscene_tpu.ops.bilateral import (
     MODE_PARAMS,
-    bilateral_solve,
+    bilateral_solve_stats,
 )
 from inverserenderingofindoorscene_tpu.pipeline.brdf import BRDFNets, brdf_forward
 
 
 @dataclasses.dataclass(frozen=True)
 class BilateralNets:
-    """Confidence CNNs for the albedo/rough/depth refiners."""
+    """Confidence CNNs for the albedo/rough/depth refiners.
+
+    ``v_max``: solver vertex capacity (None = one per pixel, the upper
+    bound).  ``e_max``: compact edge-list capacity for the blur's eight
+    gather directions (None = dense [10, V] neighbor tables).  Both are
+    static shapes; results are EXACT whenever the true counts fit — the
+    step's nvert/nedges metrics let callers validate per batch."""
 
     v_max: Optional[int] = None  # default: one vertex per pixel (upper bound)
+    e_max: Optional[int] = None  # default: dense neighbor tables
 
     @property
     def nets(self):
@@ -84,22 +91,25 @@ def refine(
     The grid guide (``feature``) is always the detached albedo prediction.
     """
     v_max = nets.v_max or (im.shape[1] * im.shape[2])
+    e_max = nets.e_max
     guide = normalized_guide(preds["albedo"])
     modules = nets.nets
 
     conf_a = modules["albedo"].apply(params["albedo"], im, preds["albedo"])
-    albedo_bs = bilateral_solve(
-        guide, preds["albedo"], conf_a, MODE_PARAMS[0], v_max
+    albedo_bs, st_a = bilateral_solve_stats(
+        guide, preds["albedo"], conf_a, MODE_PARAMS[0], v_max, e_max
     )
 
     rough01 = 0.5 * (preds["rough"] + 1.0)
     conf_r = modules["rough"].apply(params["rough"], im, rough01)
-    rough_bs = bilateral_solve(guide, rough01, conf_r, MODE_PARAMS[2], v_max)
+    rough_bs, st_r = bilateral_solve_stats(
+        guide, rough01, conf_r, MODE_PARAMS[2], v_max, e_max
+    )
     rough_bs = jnp.clip(2.0 * rough_bs - 1.0, -1.0, 1.0)
 
     conf_d = modules["depth"].apply(params["depth"], im, preds["depth"])
-    depth_bs = bilateral_solve(
-        guide, preds["depth"], conf_d, MODE_PARAMS[4], v_max
+    depth_bs, st_d = bilateral_solve_stats(
+        guide, preds["depth"], conf_d, MODE_PARAMS[4], v_max, e_max
     )
 
     refined = {
@@ -109,7 +119,8 @@ def refine(
         "depth": depth_bs,
     }
     confs = {"albedo": conf_a, "rough": conf_r, "depth": conf_d}
-    return refined, confs
+    stats = {"albedo": st_a, "rough": st_r, "depth": st_d}
+    return refined, confs, stats
 
 
 def bilateral_step(
@@ -125,7 +136,7 @@ def bilateral_step(
     Returns (losses dict with raw/bs variants, aux)."""
     preds = brdf_forward(brdf_nets, brdf_params, batch)
     preds = jax.tree_util.tree_map(jax.lax.stop_gradient, preds)
-    refined, confs = refine(bs_nets, bs_params, batch["im"], preds)
+    refined, confs, stats = refine(bs_nets, bs_params, batch["im"], preds)
 
     seg_brdf, seg_all = batch["seg_brdf"], batch["seg_all"]
 
@@ -151,7 +162,8 @@ def bilateral_step(
     losses["normal_raw"] = masked_sq_sum(
         preds["normal"], batch["normal"], seg_all, 3.0, axis_name
     )
-    aux = {"preds": preds, "refined": refined, "confs": confs}
+    aux = {"preds": preds, "refined": refined, "confs": confs,
+           "grid_stats": stats}
     return losses, aux
 
 

@@ -223,21 +223,34 @@ def make_bilateral_train_step(
     frozen = jax.lax.stop_gradient(brdf_params)
 
     def loss_fn(bs_params, batch):
-        losses, _ = bilateral_step(
+        losses, aux = bilateral_step(
             brdf_nets, bs_nets, frozen, bs_params, batch, axis_name=axis_name
         )
         total = bilateral_total_error(losses, albedo_w, rough_w, depth_w)
-        return total, losses
+        # Grid-occupancy maxima: capacity-bucketed callers (vMax/eMax auto)
+        # check these against the step's static v_max/e_max for exactness.
+        stats = aux["grid_stats"]
+        occ = {
+            "nvert_max": jnp.max(
+                jnp.stack([jnp.max(s["nvert"]) for s in stats.values()])
+            ),
+            "nedges_max": jnp.max(
+                jnp.stack([jnp.max(s["nedges"]) for s in stats.values()])
+            ),
+        }
+        return total, (losses, occ)
 
     def step(state: TrainState, batch):
-        (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch
-        )
+        (total, (losses, occ)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, batch)
         if axis_name is not None:
             grads = jax.lax.psum(grads, axis_name)
+            occ = {k: jax.lax.pmax(v, axis_name) for k, v in occ.items()}
         state = state.apply_gradients(grads)
         metrics = dict(losses)
         metrics["total"] = total
+        metrics.update(occ)
         return state, metrics
 
     return step

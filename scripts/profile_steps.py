@@ -85,8 +85,9 @@ def build_step(stage, dtype, cascade=0, v_max="full", photo=False,
     if stage == "brdf":
         nets = BRDFNets(cascade_level=cascade, compute_dtype=dtype)
         params = nets.init(jax.random.PRNGKey(0), (240, 320))
-        batch = synthetic_batch(batch=batch_size or 16, im_hw=(240, 320),
-                                env_rc=(120, 160), cascade_level=cascade)
+        batch = synthetic_batch(
+            batch=16 if batch_size is None else batch_size,
+            im_hw=(240, 320), env_rc=(120, 160), cascade_level=cascade)
         step = jax.jit(make_brdf_train_step(nets), donate_argnums=(0,))
         state = create_train_state(params, reference_adam(1e-4))
         return step, state, batch
@@ -104,17 +105,22 @@ def build_step(stage, dtype, cascade=0, v_max="full", photo=False,
         bs_nets = BilateralNets()
         bp = brdf_nets.init(jax.random.PRNGKey(0), (240, 320))
         sp = bs_nets.init(jax.random.PRNGKey(1), (240, 320))
-        batch = synthetic_batch(batch=batch_size or 2, im_hw=(240, 320),
-                                env_rc=(120, 160), cascade_level=cascade)
+        batch = synthetic_batch(
+            batch=2 if batch_size is None else batch_size,
+            im_hw=(240, 320), env_rc=(120, 160), cascade_level=cascade)
         if photo:
             batch = photo_like(batch, 240, 320)
+        state = create_train_state(sp, reference_adam(1e-4))
         if v_max == "auto":
-            # the capacity the CLI's auto dispatch would pick for THIS
-            # batch: count occupied grid cells on the frozen-BRDF guide
+            # the capacities the CLI's auto dispatch would pick for THIS
+            # batch: count occupied grid cells on the frozen-BRDF guide,
+            # then resolve the edge bucket exactly like the CLI (guess
+            # 2*nvert, run once, bump to the step's reported nedges_max)
             from inverserenderingofindoorscene_tpu.ops.bilateral import (
                 MODE_PARAMS,
                 bucket_capacity,
                 count_vertices,
+                edge_bucket,
             )
             from inverserenderingofindoorscene_tpu.pipeline.bilateral import (
                 normalized_guide,
@@ -134,22 +140,33 @@ def build_step(stage, dtype, cascade=0, v_max="full", photo=False,
 
             nvert = int(np.asarray(_counts(batch)).max())
             cap = bucket_capacity(nvert, 240 * 320)
-            log(f"auto vMax: nvert={nvert} -> bucket={cap} (of {240 * 320})")
-            bs_nets = BilateralNets(v_max=cap)
-        elif v_max != "full":
+            ecap = edge_bucket(2 * nvert, cap)
+            while True:  # probe until the bucket is TIGHT for this batch
+                step = jax.jit(make_bilateral_train_step(
+                    brdf_nets, BilateralNets(v_max=cap, e_max=ecap), bp))
+                _, metrics = step(state, batch)
+                nedges = int(metrics["nedges_max"])
+                tight = edge_bucket(nedges, cap)
+                if tight == ecap:
+                    break
+                ecap = tight
+            log(f"auto caps: nvert={nvert} -> v_max={cap} (of {240 * 320}), "
+                f"nedges={nedges} -> e_max={ecap} (of {8 * cap})")
+            return step, state, batch
+        if v_max != "full":
             bs_nets = BilateralNets(v_max=int(v_max))
         step = jax.jit(
             make_bilateral_train_step(brdf_nets, bs_nets, bp),
             donate_argnums=(0,),
         )
-        state = create_train_state(sp, reference_adam(1e-4))
         return step, state, batch
     brdf_nets = BRDFNets(cascade_level=cascade, compute_dtype=dtype)
     light_nets = LightNets(cascade_level=cascade, compute_dtype=dtype)
     bp = brdf_nets.init(jax.random.PRNGKey(0), (240, 320))
     lp = light_nets.init(jax.random.PRNGKey(1))
-    batch = synthetic_batch(batch=batch_size or 5, im_hw=(240, 320),
-                            env_rc=(120, 160), cascade_level=cascade)
+    batch = synthetic_batch(
+        batch=5 if batch_size is None else batch_size,
+        im_hw=(240, 320), env_rc=(120, 160), cascade_level=cascade)
     step = jax.jit(
         make_light_train_step(brdf_nets, light_nets, bp, use_pallas=True),
         donate_argnums=(0,),
@@ -178,16 +195,24 @@ CATEGORIES = (
     # light-step HLO: every custom_call_target="tpu_custom_call" op carries
     # one of those names).  Match them BEFORE the copy/transpose bucket or
     # the backward kernels land there and pallas reads 0.00 ms.
-    ("pallas", ("sg_", "custom-call", "tpu_custom_call", "jvp__")),
+    ("pallas", ("sg_", "custom-call", "tpu_custom_call")),
     ("resize/pool", ("resize", "reduce-window", "gather", "pad", "slice")),
     ("norm/elemwise", ("fusion",)),
     ("copy/transpose", ("copy", "transpose", "bitcast", "reshape")),
     ("allreduce", ("all-reduce", "psum")),
 )
 
+# Pallas custom_vjp scope prefixes must be ANCHORED (startswith), not
+# substring-matched: any HLO op whose sanitized name merely inherits the
+# same custom_vjp scope somewhere inside would otherwise be misbucketed
+# into pallas and inflate it.
+_PALLAS_PREFIXES = ("jvp__", "transpose_jvp___")
+
 
 def categorize(name):
     lname = name.lower()
+    if lname.startswith(_PALLAS_PREFIXES):
+        return "pallas"
     for cat, keys in CATEGORIES:
         if any(k in lname for k in keys):
             return cat
@@ -247,7 +272,13 @@ def main():
     ap.add_argument("--photoLike", action="store_true",
                     help="bilateral stage: piecewise-smooth input instead "
                          "of per-pixel noise (the grid's worst case)")
-    ap.add_argument("--batch", type=int, default=None,
+    def _positive_int(s):
+        v = int(s)
+        if v < 1:
+            raise argparse.ArgumentTypeError("--batch must be >= 1")
+        return v
+
+    ap.add_argument("--batch", type=_positive_int, default=None,
                     help="override the stage's reference batch size "
                          "(brdf 16, light 5, bilateral 2)")
     opt = ap.parse_args()

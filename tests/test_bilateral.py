@@ -198,6 +198,65 @@ def test_bucketed_solver_exact():
     )
 
 
+def test_edge_mode_matches_dense():
+    """The compact edge-list blur (build_grid e_max) must reproduce the
+    dense 10-table blur exactly up to reduction order, for outputs AND
+    the custom-VJP gradients, at a tight power-of-two capacity."""
+    rng = np.random.RandomState(3)
+    yy, xx = np.mgrid[0:H, 0:W]
+    base = np.stack([xx / W, yy / H, 0.5 + 0.3 * np.sin(xx / 4.0)], -1)
+    im = np.clip(base + rng.randn(H, W, 3) * 0.02, 0, 1)
+    feature = jnp.asarray(np.stack([im, im[:, ::-1]]), jnp.float32)
+    target = jnp.asarray(rng.rand(2, H, W, 3), jnp.float32)
+    conf = jnp.asarray(rng.rand(2, H, W, 1) * 0.9 + 0.1, jnp.float32)
+    params = bl.BSParams(16.0, 8.0, 4.0, 100.0, cg_maxiter=12)
+
+    def loss(t, c, e_max):
+        out = bl.bilateral_solve(feature, t, c, params, N, e_max)
+        return jnp.sum(jnp.sin(out)), out
+
+    (_, out_d), g_d = jax.value_and_grad(
+        lambda t, c: loss(t, c, None), argnums=(0, 1), has_aux=True
+    )(target, conf)
+    _, stats = jax.jit(
+        lambda t, c: bl.bilateral_solve_stats(feature, t, c, params, N,
+                                              8 * N)
+    )(target, conf)
+    nedges = int(np.asarray(stats["nedges"]).max())
+    assert nedges > 0  # the smooth guide must produce real links
+    cap = bl.edge_bucket(nedges, N, min_cap=64)
+    assert cap < 8 * N  # and the bucket must be genuinely compact
+    (_, out_e), g_e = jax.value_and_grad(
+        lambda t, c: loss(t, c, cap), argnums=(0, 1), has_aux=True
+    )(target, conf)
+    np.testing.assert_allclose(np.asarray(out_e), np.asarray(out_d),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(g_e[0]), np.asarray(g_d[0]),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(g_e[1]), np.asarray(g_d[1]),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_edge_bucket_ladder():
+    assert bl.edge_bucket(0, 768) == 1024
+    assert bl.edge_bucket(1025, 768) == 2048
+    assert bl.edge_bucket(10**9, 768) == 8 * 768
+    assert bl.edge_bucket(100, 768, min_cap=64) == 128
+
+
+def test_blocked_scan_matches_numpy():
+    rng = np.random.RandomState(0)
+    for n in (5, 4608, 4609, 100_001):
+        x = jnp.asarray(rng.randint(-5, 7, size=n), jnp.int32)
+        np.testing.assert_array_equal(
+            np.asarray(bl._cumsum1d(x)), np.cumsum(np.asarray(x))
+        )
+        np.testing.assert_array_equal(
+            np.asarray(bl._cummax1d(x)),
+            np.maximum.accumulate(np.asarray(x)),
+        )
+
+
 def test_bilateral_train_step():
     """Full trainBRDFBilateral-equivalent step at tiny resolution."""
     from inverserenderingofindoorscene_tpu.data.synthetic import synthetic_batch
@@ -221,8 +280,21 @@ def test_bilateral_train_step():
     for k, v in metrics.items():
         assert np.isfinite(float(v)), (k, float(v))
     assert int(state.step) == 1
+    assert 0 < int(metrics["nvert_max"]) <= 32 * 32
+    assert int(metrics["nedges_max"]) == 0  # dense mode reports no edges
     # gradient actually reached the confidence CNNs
     gsum = jax.tree_util.tree_reduce(
         lambda a, x: a + float(jnp.sum(jnp.abs(x))), state.params, 0.0
     )
     assert np.isfinite(gsum)
+
+    # edge-capacity step: same losses as the dense step on the same batch
+    state_e = create_train_state(sp, reference_adam(1e-4))
+    step_e = jax.jit(make_bilateral_train_step(
+        brdf_nets, BilateralNets(e_max=8 * 32 * 32), bp))
+    state_e, metrics_e = step_e(state_e, batch)
+    for k in ("albedo_bs", "rough_bs", "depth_bs", "total"):
+        np.testing.assert_allclose(
+            float(metrics_e[k]), float(metrics[k]), rtol=1e-4
+        )
+    assert int(metrics_e["nedges_max"]) >= 0
