@@ -61,8 +61,12 @@ def parse_args(argv=None):
     p.add_argument("--epochBRDF", type=int, default=None)
     p.add_argument("--epochLight", type=int, default=None)
     p.add_argument("--bsExperiment", default=None,
-                   help="trained confidence-CNN checkpoint dir; unit "
-                        "confidence if absent")
+                   help="trained confidence-CNN checkpoint dir used for "
+                        "every level; unit confidence if absent")
+    p.add_argument("--bsExperiment0", default=None,
+                   help="per-level override of --bsExperiment (the "
+                        "reference loads one BS stack per cascade level)")
+    p.add_argument("--bsExperiment1", default=None)
     p.add_argument("--bsEpoch", type=int, default=None)
     p.add_argument("--vMax", default="auto",
                    help="bilateral vertex capacity: 'auto' (exact "
@@ -138,7 +142,9 @@ def load_stack(opt):
 
 
 def load_bs_params(opt):
-    """Trained confidence-CNN params, or None for unit confidence."""
+    """Per-level trained confidence-CNN params (None entries = unit
+    confidence), mirroring the reference's per-level BS checkpoints
+    (testReal.py:184-202, albedoBs{n}_..pth per cascade level)."""
     from inverserenderingofindoorscene_tpu.pipeline.bilateral import (
         BilateralNets,
     )
@@ -150,21 +156,26 @@ def load_bs_params(opt):
 
     from inverserenderingofindoorscene_tpu.cli import common
 
-    exp = opt.bsExperiment or common.default_experiment_name(
-        opt, "bs", cascade=opt.level - 1
-    )
-    ep = opt.bsEpoch
-    if ep is None:
-        ep = ckpt.latest_epoch(exp, "bs", opt.level - 1)
-    if ep is None:
-        return None
-    nets = BilateralNets()
-    params = nets.init(jax.random.PRNGKey(opt.seed),
-                       (opt.imHeight, opt.imWidth))
-    state = create_train_state(params, reference_adam(1e-4))
-    state = ckpt.restore_checkpoint(exp, "bs", opt.level - 1, ep, state)
-    print(f"loaded confidence CNNs from {exp} epoch {ep}")
-    return state.params
+    out = []
+    for lvl in range(opt.level):
+        exp = getattr(opt, f"bsExperiment{lvl}") or (
+            opt.bsExperiment
+            or common.default_experiment_name(opt, "bs", cascade=lvl)
+        )
+        ep = opt.bsEpoch
+        if ep is None:
+            ep = ckpt.latest_epoch(exp, "bs", lvl)
+        if ep is None:
+            out.append(None)
+            continue
+        nets = BilateralNets()
+        params = nets.init(jax.random.PRNGKey(opt.seed),
+                           (opt.imHeight, opt.imWidth))
+        state = create_train_state(params, reference_adam(1e-4))
+        state = ckpt.restore_checkpoint(exp, "bs", lvl, ep, state)
+        print(f"loaded level-{lvl} confidence CNNs from {exp} epoch {ep}")
+        out.append(state.params)
+    return out
 
 
 def main(argv=None):
@@ -214,47 +225,56 @@ def main(argv=None):
             jax.numpy.asarray(im_np), jax.numpy.asarray(im_small_np), fov
         )
         all_preds = result["preds"]
-        light_out = result["light"]
+        lights = result["lights"]
         bs_out = result["refined"]
 
-        # write products
+        # write products — PER LEVEL, like the reference
+        # (testReal.py:542-660 loops every product list over the levels)
         def out(n):
             return osp.join(opt.output, n)
 
-        final = all_preds[-1]
-        lvl = len(all_preds) - 1
-        # the cAlbedo global-scale disambiguation applies to the saved
-        # albedo (testReal.py:546-549)
+        # per-level cAlbedo/cLight: the global-scale disambiguation of the
+        # level whose light ran (testReal.py:546-549 `n < len(cAlbedos)`);
         # reshape(-1)[0]: the staged path yields host floats, the fused
         # path [B=1] device arrays — normalize both to float
-        c_albedo, c_light = (
+        scales = [
             (
-                float(np.asarray(light_out["c_albedo"]).reshape(-1)[0]),
-                float(np.asarray(light_out["c_light"]).reshape(-1)[0]),
+                float(np.asarray(lo["c_albedo"]).reshape(-1)[0]),
+                float(np.asarray(lo["c_light"]).reshape(-1)[0]),
             )
-            if light_out is not None
-            else (1.0, 1.0)
-        )
-        albedo_out = np.asarray(final["albedo"][0]) * c_albedo
-        np.save(out(f"{name}_albedo{lvl}.npy"), albedo_out)
-        np.save(out(f"{name}_normal{lvl}.npy"), np.asarray(final["normal"][0]))
-        np.save(out(f"{name}_rough{lvl}.npy"), np.asarray(final["rough"][0]))
-        np.save(out(f"{name}_depth{lvl}.npy"), np.asarray(final["depth"][0]))
-        write_image(
-            albedo_out, out(f"{name}_albedo{lvl}.png"), gamma=True,
-        )
-        write_image(
-            np.asarray(0.5 * (final["normal"][0] + 1.0)),
-            out(f"{name}_normal{lvl}.png"),
-        )
-        write_image(
-            np.asarray(0.5 * (final["rough"][0] + 1.0)),
-            out(f"{name}_rough{lvl}.png"),
-        )
-        d = np.asarray(final["depth"][0])
-        write_image(1 / np.clip(d, 0.1, None) * 0.3,
-                    out(f"{name}_depth{lvl}.png"))
-        if light_out is not None:
+            for lo in lights
+        ]
+
+        for lvl, preds in enumerate(all_preds):
+            c_albedo = scales[lvl][0] if lvl < len(scales) else 1.0
+            albedo_out = np.asarray(preds["albedo"][0]) * c_albedo
+            np.save(out(f"{name}_albedo{lvl}.npy"), albedo_out)
+            np.save(out(f"{name}_normal{lvl}.npy"),
+                    np.asarray(preds["normal"][0]))
+            np.save(out(f"{name}_rough{lvl}.npy"),
+                    np.asarray(preds["rough"][0]))
+            np.save(out(f"{name}_depth{lvl}.npy"),
+                    np.asarray(preds["depth"][0]))
+            write_image(
+                albedo_out, out(f"{name}_albedo{lvl}.png"), gamma=True,
+            )
+            write_image(
+                np.asarray(0.5 * (preds["normal"][0] + 1.0)),
+                out(f"{name}_normal{lvl}.png"),
+            )
+            write_image(
+                np.asarray(0.5 * (preds["rough"][0] + 1.0)),
+                out(f"{name}_rough{lvl}.png"),
+            )
+            d = np.asarray(preds["depth"][0])
+            write_image(1 / np.clip(d, 0.1, None) * 0.3,
+                        out(f"{name}_depth{lvl}.png"))
+
+        # light products are written only with --isLight (reference
+        # testReal.py:622); without it cascade-0's light ran solely to
+        # feed the cascade-1 input and is not a product
+        for lvl, light_out in enumerate(lights if opt.isLight else []):
+            c_albedo, c_light = scales[lvl]
             np.savez_compressed(
                 out(f"{name}_env{lvl}.npz"),
                 data=np.asarray(light_out["env_img"][0]),
@@ -269,7 +289,8 @@ def main(argv=None):
             rendered = np.asarray(
                 (light_out["diffuse"] + light_out["specular"])[0]
             )
-            write_image(rendered, out(f"{name}_rendered{lvl}.png"), gamma=True)
+            write_image(rendered, out(f"{name}_rendered{lvl}.png"),
+                        gamma=True)
             # SG -> diffuse shading visualization (testReal.py:656-660 via
             # utils.predToShading)
             from inverserenderingofindoorscene_tpu.utils.io import (
@@ -301,13 +322,20 @@ def main(argv=None):
                 )
             except ImportError:
                 print("scipy unavailable; skipped .mat cLight export")
+
         if bs_out is not None:
-            write_image(np.asarray(bs_out["albedo"][0]) * c_albedo,
-                        out(f"{name}_albedoBs{lvl}.png"), gamma=True)
-            write_image(np.asarray(0.5 * (bs_out["rough"][0] + 1)),
-                        out(f"{name}_roughBs{lvl}.png"))
-            np.save(out(f"{name}_depthBs{lvl}.npy"),
-                    np.asarray(bs_out["depth"][0]))
+            for lvl, bso in enumerate(bs_out):
+                c_albedo = scales[lvl][0] if lvl < len(scales) else 1.0
+                np.save(out(f"{name}_albedoBs{lvl}.npy"),
+                        np.asarray(bso["albedo"][0]) * c_albedo)
+                write_image(np.asarray(bso["albedo"][0]) * c_albedo,
+                            out(f"{name}_albedoBs{lvl}.png"), gamma=True)
+                np.save(out(f"{name}_roughBs{lvl}.npy"),
+                        np.asarray(bso["rough"][0]))
+                write_image(np.asarray(0.5 * (bso["rough"][0] + 1)),
+                            out(f"{name}_roughBs{lvl}.png"))
+                np.save(out(f"{name}_depthBs{lvl}.npy"),
+                        np.asarray(bso["depth"][0]))
         print(f"done {im_path} -> {opt.output}/{name}_*")
     pool.shutdown()
 

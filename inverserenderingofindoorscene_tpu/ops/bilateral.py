@@ -683,12 +683,21 @@ class BucketedSolver:
     Each distinct (params, bucket) pair compiles once; the count is one
     small jitted sort per distinct params.  Use :meth:`counts` to batch
     the device->host sync when several modes share one guide (the
-    testReal chain runs albedo/rough/depth off the same albedo guide)."""
+    testReal chain runs albedo/rough/depth off the same albedo guide).
 
-    def __init__(self, ladder=(16, 8, 4, 2, 1)):
+    ``use_edges``: also dispatch the compact edge-list blur capacity
+    (see :func:`build_grid`): the solve returns its true edge count, an
+    overflowing call is re-run at the bumped power-of-two bucket (every
+    returned result is exact), and the bucket tightens to the running
+    max of observed counts for subsequent calls."""
+
+    def __init__(self, ladder=(16, 8, 4, 2, 1), use_edges=True):
         self.ladder = tuple(ladder)
+        self.use_edges = use_edges
         self._count = {}
         self._solve = {}
+        self._ecap = {}  # (params, v_cap) -> edge bucket for the next call
+        self._seen = {}  # (params, v_cap) -> running max observed nedges
 
     def counts(self, guide, params_seq) -> list:
         """Max-over-batch vertex count for each params in one jit call."""
@@ -701,16 +710,35 @@ class BucketedSolver:
             )
         return [int(v) for v in np.asarray(self._count[key](guide))]
 
-    def solve(self, guide, target, conf, params: BSParams, nvert: int):
-        n_pixels = guide.shape[1] * guide.shape[2]
-        cap = bucket_capacity(nvert, n_pixels, self.ladder)
-        sk = (params, cap)
+    def _jit_solve(self, params, v_cap, e_cap):
+        sk = (params, v_cap, e_cap)
         if sk not in self._solve:
             # positional call: custom_vjp nondiff_argnums reject keywords
             self._solve[sk] = jax.jit(
-                lambda g, t, c, p=params, v=cap: bilateral_solve(g, t, c, p, v)
+                lambda g, t, c, p=params, v=v_cap, e=e_cap:
+                bilateral_solve_stats(g, t, c, p, v, e)
             )
-        return self._solve[sk](guide, target, conf)
+        return self._solve[sk]
+
+    def solve(self, guide, target, conf, params: BSParams, nvert: int):
+        n_pixels = guide.shape[1] * guide.shape[2]
+        cap = bucket_capacity(nvert, n_pixels, self.ladder)
+        if not self.use_edges:
+            out, _ = self._jit_solve(params, cap, None)(guide, target, conf)
+            return out
+        key = (params, cap)
+        ecap = self._ecap.get(key, edge_bucket(2 * nvert, cap))
+        while True:
+            out, stats = self._jit_solve(params, cap, ecap)(
+                guide, target, conf
+            )
+            nedges = int(np.asarray(stats["nedges"]).max())
+            if nedges <= ecap:
+                seen = max(self._seen.get(key, 0), nedges)
+                self._seen[key] = seen
+                self._ecap[key] = edge_bucket(seen, cap)
+                return out
+            ecap = edge_bucket(nedges, cap)
 
     def __call__(self, guide, target, conf, params: BSParams):
         (nvert,) = self.counts(guide, (params,))

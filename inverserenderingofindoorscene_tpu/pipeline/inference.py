@@ -293,8 +293,16 @@ def refine_bs(im, preds, bs_params=None, v_max=None):
     return out
 
 
-def make_bs_fn(bs_params, v_max_opt):
-    """The per-image refinement callable.
+def make_bs_fns(bs_params_list, v_max_opt):
+    """Per-level refinement callables SHARING their compiled programs.
+
+    The reference builds BS nets per cascade level with per-level
+    checkpoints and refines every level's predictions
+    (testReal.py:184-202, 532-540); the solve programs are identical
+    across levels, so one jit wrapper / one BucketedSolver serves all of
+    them and only the confidence-CNN weights differ per level (passed as
+    jit arguments).  ``bs_params_list`` entries may be None (unit
+    confidence).
 
     v_max_opt: "full" (one vertex per pixel), "auto" (count the guide's
     occupied cells, dispatch to a ladder-bucketed compile — exact, but far
@@ -304,7 +312,7 @@ def make_bs_fn(bs_params, v_max_opt):
         jit_bs = jax.jit(
             lambda bsp, im, preds: refine_bs(im, preds, bsp, v_max)
         )
-        return functools.partial(jit_bs, bs_params)
+        return [functools.partial(jit_bs, bsp) for bsp in bs_params_list]
 
     from inverserenderingofindoorscene_tpu.ops.bilateral import (
         BucketedSolver,
@@ -315,17 +323,25 @@ def make_bs_fn(bs_params, v_max_opt):
     solver = BucketedSolver()
     mode_params = tuple(MODE_PARAMS[m] for _, m in _BS_MODES)
 
-    def bs_fn(im, preds):
-        guide, targets, confs = jit_prep(bs_params, im, preds)
-        nv = solver.counts(guide, mode_params)
-        out = {
-            k: solver.solve(guide, targets[k], confs[k], p, n)
-            for (k, _), p, n in zip(_BS_MODES, mode_params, nv)
-        }
-        out["rough"] = post_rough(out["rough"])
-        return out
+    def make(bsp):
+        def bs_fn(im, preds):
+            guide, targets, confs = jit_prep(bsp, im, preds)
+            nv = solver.counts(guide, mode_params)
+            out = {
+                k: solver.solve(guide, targets[k], confs[k], p, n)
+                for (k, _), p, n in zip(_BS_MODES, mode_params, nv)
+            }
+            out["rough"] = post_rough(out["rough"])
+            return out
 
-    return bs_fn
+        return bs_fn
+
+    return [make(bsp) for bsp in bs_params_list]
+
+
+def make_bs_fn(bs_params, v_max_opt):
+    """Single-level variant of :func:`make_bs_fns`."""
+    return make_bs_fns([bs_params], v_max_opt)[0]
 
 
 def _cascade1_extra(im, preds, diffuse, specular):
@@ -365,12 +381,16 @@ class InverseRenderer:
         r = InverseRenderer(stacks, is_light=True, is_bs=True)
         out = r.render_file("photo.png")
         out["preds"][-1]["albedo"]          # final-cascade predictions
-        out["light"]["env_img"]             # per-pixel envmaps (scaled)
-        out["refined"]["albedo"]            # bilateral-refined maps
+        out["light"]["env_img"]             # final per-pixel envmaps
+        out["lights"][0]["env_img"]         # cascade-0 envmaps
+        out["refined"][-1]["albedo"]        # final bilateral-refined maps
 
     ``stacks``: [(BRDFNets, brdf_params, LightNets, light_params)] per
-    cascade. ``v_max``: bilateral vertex capacity ("auto"/"full"/int, see
-    :func:`make_bs_fn`).
+    cascade. ``bs_params``: confidence-CNN params — one tree per level
+    (list, entries may be None for unit confidence) or a single tree
+    applied to every level, mirroring the reference's per-level BS nets
+    (testReal.py:184-202). ``v_max``: bilateral vertex capacity
+    ("auto"/"full"/int, see :func:`make_bs_fns`).
     """
 
     def __init__(self, stacks, *, is_light=True, is_bs=False,
@@ -446,9 +466,15 @@ class InverseRenderer:
                     lp1,
                 )
         if is_bs:
-            if bs_params is not None:
-                bs_params = jax.device_put(bs_params)
-            self._bs = make_bs_fn(bs_params, v_max)
+            if isinstance(bs_params, (list, tuple)):
+                bs_list = list(bs_params)
+                assert len(bs_list) == self.level, (len(bs_list), self.level)
+            else:
+                bs_list = [bs_params] * self.level
+            bs_list = [
+                jax.device_put(p) if p is not None else None for p in bs_list
+            ]
+            self._bs_fns = make_bs_fns(bs_list, v_max)
 
     def _run_chain(self, nets, params, im, im_small, fov, use_pallas,
                    light_post):
@@ -458,38 +484,46 @@ class InverseRenderer:
         brdf0_nets, light0_nets = nets[0]
         preds = predict_brdf(brdf0_nets, params[0], im)
         all_preds = [preds]
-        light_out = None
+        lights = []
         if self.is_light or self.level == 2:
-            light_out = light_post(predict_light_core(
+            lights.append(light_post(predict_light_core(
                 light0_nets, params[1], im, preds, im_small, fov,
                 use_pallas=use_pallas,
-            ))
+            )))
         if self.level == 2:
             brdf1_nets, light1_nets = nets[1]
             extra = _cascade1_extra(
-                im, preds, light_out["diffuse"], light_out["specular"]
+                im, preds, lights[0]["diffuse"], lights[0]["specular"]
             )
             preds = predict_brdf(brdf1_nets, params[2], im, extra)
             all_preds.append(preds)
             if self.is_light:
-                light_out = light_post(predict_light_core(
+                lights.append(light_post(predict_light_core(
                     light1_nets, params[3], im, preds, im_small, fov,
-                    light_out["sg_flat"], use_pallas=use_pallas,
-                ))
-        return {"preds": all_preds, "light": light_out}
+                    lights[0]["sg_flat"], use_pallas=use_pallas,
+                )))
+        return {
+            "preds": all_preds,
+            "lights": lights,
+            "light": lights[-1] if lights else None,
+        }
 
     def __call__(self, im, im_small, fov=57.0):
         """Run the chain on a staged image.
 
         im [1,H,W,3] linear RGB in 0..1; im_small [1,eh,ew,3] (the
         lighting-grid resize of the same photo); fov in degrees.
-        Returns {"preds": [per-cascade pred dicts], "light": light dict or
-        None (cascade-0's when is_light=False but level==2, since the
-        cascade-1 input needs its rendered components), "refined": dict
-        or None}."""
+        Returns {"preds": [per-cascade pred dicts], "lights": [per-level
+        light dicts — cascade-0's is present even when is_light=False at
+        level==2, since the cascade-1 input needs its rendered
+        components], "light": the final level's light dict or None,
+        "refined": [per-level refined dicts] or None — every cascade
+        level is refined with its own BS params like the reference
+        (testReal.py:532-540)}."""
         if self.fused:
             out = self._chain(im, im_small, fov)
-            all_preds, light_out = out["preds"], out["light"]
+            all_preds, lights = out["preds"], out["lights"]
+            light_out = out["light"]
         else:
             if (self.is_light or self.level == 2) and im.shape[0] != 1:
                 raise ValueError(
@@ -499,23 +533,32 @@ class InverseRenderer:
                 )
             preds = self._brdf0(im)
             all_preds = [preds]
-            light_out = None
+            lights = []
             if self.is_light or self.level == 2:
-                light_out = predict_light(
+                lights.append(predict_light(
                     self._light0(im, preds, im_small, fov)
-                )
+                ))
             if self.level == 2:
                 preds = self._brdf1(
-                    im, preds, light_out["diffuse"], light_out["specular"]
+                    im, preds, lights[0]["diffuse"], lights[0]["specular"]
                 )
                 all_preds.append(preds)
                 if self.is_light:
-                    light_out = predict_light(
+                    lights.append(predict_light(
                         self._light1(im, preds, im_small, fov,
-                                     light_out["sg_flat"])
-                    )
-        bs_out = self._bs(im, all_preds[-1]) if self.is_bs else None
-        return {"preds": all_preds, "light": light_out, "refined": bs_out}
+                                     lights[0]["sg_flat"])
+                    ))
+            light_out = lights[-1] if lights else None
+        bs_out = (
+            [fn(im, p) for fn, p in zip(self._bs_fns, all_preds)]
+            if self.is_bs else None
+        )
+        return {
+            "preds": all_preds,
+            "lights": lights,
+            "light": light_out,
+            "refined": bs_out,
+        }
 
     def render_file(self, path, im_hw=(240, 320), env_rc=(120, 160)):
         """Load a photo from disk (aspect-preserving resize, gamma to
@@ -576,4 +619,5 @@ __all__ = [
     "bs_prep",
     "refine_bs",
     "make_bs_fn",
+    "make_bs_fns",
 ]

@@ -222,9 +222,14 @@ def test_test_real_cli(dataset, tmp_path):
         "--envRow", str(ENV_RC[0]), "--envCol", str(ENV_RC[1]),
     ])
     files = os.listdir(outdir)
-    assert any("albedo1.npy" in f for f in files), files
-    assert any("envmap1.png" in f for f in files), files
-    assert any("albedoBs1.png" in f for f in files), files
+    # per-level products for BOTH cascade levels (testReal.py:542-660
+    # loops every product list over the levels, incl. per-level BS)
+    for lvl in (0, 1):
+        for prod in (f"albedo{lvl}.npy", f"envmap{lvl}.png",
+                     f"albedoBs{lvl}.png", f"albedoBs{lvl}.npy",
+                     f"roughBs{lvl}.png", f"depthBs{lvl}.npy",
+                     f"cLight{lvl}.npy"):
+            assert any(prod in f for f in files), (prod, files)
 
     # the fused-kernel inference branch (interpret-mode on CPU): same
     # run configuration, envmaps numerically matching the jnp path.

@@ -198,9 +198,10 @@ def test_inverse_renderer_api(tmp_path):
     preds = out["preds"][0]
     assert preds["albedo"].shape == (1, 64, 64, 3)
     assert out["light"] is not None and out["refined"] is not None
+    assert len(out["refined"]) == 1  # one refined dict per cascade level
     assert np.isfinite(float(out["light"]["c_light"]))
     for k in ("albedo", "rough", "depth"):
-        arr = np.asarray(out["refined"][k])
+        arr = np.asarray(out["refined"][-1][k])
         assert arr.shape[:3] == (1, 64, 64), k
         assert np.all(np.isfinite(arr)), k
     assert np.asarray(out["light"]["env_img"]).shape[1:3] == ENV_RC
@@ -277,17 +278,22 @@ def test_fused_chain_matches_staged():
         InverseRenderer(stacks, is_light=True)(im2, small2, 57.0)
 
     # batched bilateral refinement: per-image guide normalization and
-    # unit confidences — B2 must reproduce the two B1 runs
+    # unit confidences — B2 must reproduce the two B1 runs, at EVERY
+    # cascade level (the reference refines each level with its own BS
+    # stack, testReal.py:532-540)
     rb = InverseRenderer(stacks, is_light=True, is_bs=True, fused=True,
                          v_max="full")
     ref2 = rb(im2, small2, 57.0)["refined"]
+    assert len(ref2) == 2  # one refined dict per cascade level
     for i in range(2):
         ref1 = rb(im2[i : i + 1], small2[i : i + 1], 57.0)["refined"]
-        for k in ("albedo", "rough", "depth"):
-            np.testing.assert_allclose(
-                np.asarray(ref2[k][i]), np.asarray(ref1[k][0]),
-                atol=1e-5, err_msg=f"{k} image {i}",
-            )
+        for lvl in range(2):
+            for k in ("albedo", "rough", "depth"):
+                np.testing.assert_allclose(
+                    np.asarray(ref2[lvl][k][i]),
+                    np.asarray(ref1[lvl][k][0]),
+                    atol=1e-5, err_msg=f"{k} level {lvl} image {i}",
+                )
 
     # AOT deployment artifact: serialize the fused chain (jax.export
     # StableHLO), rehydrate WITHOUT the model objects, compare outputs
