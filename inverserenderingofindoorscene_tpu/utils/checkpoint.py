@@ -34,12 +34,27 @@ def save_checkpoint(exp_dir, stage, cascade, epoch, state):
 
 
 def restore_checkpoint(exp_dir, stage, cascade, epoch, target):
-    """target: a pytree of the same structure (e.g. from ``init``)."""
+    """target: a pytree of the same structure (e.g. from ``init``).
+
+    Restores SHARDING-PRESERVING: any target leaf that is a committed
+    ``jax.Array`` (e.g. a TrainState ``device_put`` onto a {data, tile}
+    mesh) is restored directly to its sharding — orbax reads each shard
+    on its devices instead of round-tripping a host copy, which is the
+    multi-host resume path (the reference's equivalent is whole-module
+    ``torch.load``, trainBRDF.py:90-103).  Uncommitted/host leaves
+    restore as host values like before."""
     import orbax.checkpoint as ocp
 
     path = _ckpt_dir(exp_dir, stage, cascade, epoch)
     ckptr = ocp.StandardCheckpointer()
-    return ckptr.restore(path, target=jax.device_get(target))
+
+    def spec(x):
+        if isinstance(x, jax.Array) and x.committed:
+            return jax.ShapeDtypeStruct(x.shape, x.dtype,
+                                        sharding=x.sharding)
+        return jax.device_get(x)
+
+    return ckptr.restore(path, target=jax.tree_util.tree_map(spec, target))
 
 
 def latest_epoch(exp_dir, stage, cascade):

@@ -49,6 +49,52 @@ def test_roundtrip_and_latest_epoch(tmp_path):
     assert int(restored.step) == int(state.step)
 
 
+def test_sharded_state_roundtrip(tmp_path):
+    """Mesh-sharded TrainState save/restore: restored leaves keep their
+    {data, tile} NamedShardings and params are bitwise-identical — the
+    multi-host resume contract behind docs/scaling.md (the reference's
+    equivalent is single-process torch.save, trainBRDF.py:392-396)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from inverserenderingofindoorscene_tpu.parallel.mesh import (
+        make_mesh,
+        replicated,
+    )
+
+    mesh = make_mesh(jax.devices()[:8], tile=2)
+    sh_dt = NamedSharding(mesh, P("data", "tile"))
+    rep = replicated(mesh)
+
+    k = jax.random.PRNGKey(1)
+    params = {
+        "w": jax.device_put(jax.random.normal(k, (8, 16)), sh_dt),
+        "b": jax.device_put(jnp.arange(4.0), rep),
+    }
+    state = create_train_state(params, reference_adam(1e-4))
+    state = state.replace(step=jax.device_put(state.step, rep))
+
+    exp = str(tmp_path / "exp")
+    ckpt.save_checkpoint(exp, "light", 1, 2, state)
+
+    target = jax.tree_util.tree_map(jnp.zeros_like, state)
+    target = jax.device_put(
+        target,
+        jax.tree_util.tree_map(
+            lambda x: x.sharding, state,
+            is_leaf=lambda x: isinstance(x, jax.Array),
+        ),
+    )
+    restored = ckpt.restore_checkpoint(exp, "light", 1, 2, target)
+
+    # shardings survive the round trip...
+    assert restored.params["w"].sharding.is_equivalent_to(sh_dt, 2)
+    assert restored.params["b"].sharding.is_equivalent_to(rep, 1)
+    # ...and every leaf is bitwise-identical (incl. Adam moments)
+    for a, b in zip(jax.tree_util.tree_leaves(restored),
+                    jax.tree_util.tree_leaves(state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_lr_scale_rule():
     # trainBRDF.py:90-103: 1/2^floor((epoch+1)/10)
     assert ckpt.lr_scale_for_epoch(0) == 1.0
