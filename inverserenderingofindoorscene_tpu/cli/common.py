@@ -35,6 +35,12 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--nepoch", type=int, default=14)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--numWorkers", type=int, default=4)
+    p.add_argument("--loaderMode", default=None,
+                   choices=[None, "thread", "process"],
+                   help="prefetch worker kind; default: process for "
+                        "BRDF-stage loaders (GIL-held PIL/numpy work), "
+                        "thread for light-stage loaders (GIL-releasing "
+                        "native envmap decode, large items)")
     p.add_argument("--saveEvery", type=int, default=1, help="epochs between checkpoints")
     p.add_argument("--maxSteps", type=int, default=None,
                    help="optional cap on steps per epoch (smoke runs)")
@@ -158,9 +164,19 @@ def make_loader(opt, phase: str, is_light: bool, shuffle=True):
         sg_num=opt.SGNum,
         seed=opt.seed,
     )
+    # Prefetch mode (scripts/bench_loader.py medians, 4-core host):
+    # BRDF items are dominated by GIL-held PIL/numpy work -> process
+    # workers win (80 vs 57 items/s); light items are dominated by the
+    # GIL-RELEASING native envmap decode, and their 22 MB env_gt loses
+    # more to per-item IPC than the GIL costs -> threads win (13 vs 4).
+    mode = getattr(opt, "loaderMode", None) or (
+        "thread" if is_light else "process"
+    )
+    if opt.numWorkers <= 1:
+        mode = "thread"
     return BatchIterator(
         ds, opt.batchSize, shuffle=shuffle, num_workers=opt.numWorkers,
-        seed=opt.seed,
+        seed=opt.seed, mode=mode,
     )
 
 

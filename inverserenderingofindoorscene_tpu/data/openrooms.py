@@ -179,8 +179,11 @@ class OpenRoomsDataset:
         """Exposure scaling to the 95th-pct masked intensity
         (scaleHdr, dataLoader.py:251-259)."""
         h, w = self.im_hw
-        arr = np.sort((hdr * seg).flatten())
-        pivot = np.clip(arr[int(0.95 * h * w * 3)], 0.1, None)
+        # kth order statistic == sort(...)[k] (dataLoader.py:253), via
+        # partition: ~6x cheaper than the full sort
+        k = int(0.95 * h * w * 3)
+        arr = (hdr * seg).flatten()
+        pivot = np.clip(np.partition(arr, k)[k], 0.1, None)
         if self.phase == "TRAIN":
             scale = (0.95 - 0.1 * rng.random_sample()) / pivot
         else:
@@ -210,35 +213,54 @@ class OpenRoomsDataset:
         except Exception:
             return None
 
-    def _load_envmap(self, path):
-        """imenv HDR -> [R, C, eh*ew, 3] + validity flag
+    def _load_envmap(self, path, scale=1.0):
+        """imenv HDR -> [R, C, eh*ew, 3] (times ``scale``) + validity flag
         (loadEnvmap, dataLoader.py:286-319; reference layout is
-        [3, R, C, eh, ew] — ours flattens directions and puts RGB last)."""
-        import cv2
+        [3, R, C, eh, ew] — ours flattens directions and puts RGB last).
 
+        The 1920x5120 RGBE decode + 2x2 pool is the whole input
+        pipeline's cost (cv2 decode ~540 ms + numpy pool ~480 ms per
+        item on a 4-core host): the native single-pass decoder
+        (native/rgbe_decode.c, GIL-released) does both in ~77 ms with
+        bitwise-identical output, falling back to cv2 + a copy-free
+        numpy pool when no C compiler is available."""
         r, c = self.env_rc
         eh, ew = self.env_hw
         d = eh * ew
+        eh0, ew0 = 16, 32
+        assert eh0 % eh == 0 and (eh0 // eh) == (ew0 // ew)
         if not osp.isfile(path):
             print("Warning: the envmap %s does not exist." % path)
             return np.zeros((r, c, d, 3), np.float32), 0.0
+
+        from inverserenderingofindoorscene_tpu.native import hdr as nhdr
+
+        if nhdr.native_available():
+            try:
+                return nhdr.decode_rgbe_pooled(path, r, c, eh0, ew0, eh,
+                                               ew, scale), 1.0
+            except ValueError as e:
+                print("Warning: native envmap decode failed (%s)." % e)
+                return np.zeros((r, c, d, 3), np.float32), 0.0
+
+        import cv2
+
         env = cv2.imread(path, -1)
         if env is None:
             print("Warning: the envmap %s does not exist." % path)
             return np.zeros((r, c, d, 3), np.float32), 0.0
-        eh0, ew0 = 16, 32
-        assert eh0 % eh == 0 and (eh0 // eh) == (ew0 // ew)
         # NB: the reference does NOT flip BGR->RGB here (loadEnvmap,
         # dataLoader.py:298-310 — unlike loadHdr); keep its exact behavior.
-        env = env.reshape(r, eh0, c, ew0, 3)
-        env = env.transpose(0, 2, 1, 3, 4)  # [R,C,eh0,ew0,3]
         s = eh0 // eh
-        if s > 1:
-            env = env.reshape(r, c, eh, s, ew, s, 3).mean(axis=(3, 5))
-        return (
-            np.ascontiguousarray(env.reshape(r, c, d, 3)).astype(np.float32),
-            1.0,
-        )
+        # split-axes view + strided mean: no transpose copy of the full
+        # [r*eh0, c*ew0, 3] float image before the pool
+        env = env.reshape(r, eh, s, c, ew, s, 3)
+        env = env.mean(axis=(2, 5), dtype=np.float32)  # [r, eh, c, ew, 3]
+        env = env.transpose(0, 2, 1, 3, 4)
+        out = np.ascontiguousarray(env.reshape(r, c, d, 3)).astype(np.float32)
+        if scale != 1.0:
+            out *= np.float32(scale)
+        return out, 1.0
 
     def __getitem__(self, ind):
         import scipy.ndimage as ndimage
@@ -283,8 +305,10 @@ class OpenRoomsDataset:
         }
 
         if self.is_light:
-            env, env_ind = self._load_envmap(paths["env"])
-            out["env_gt"] = env * scale
+            # exposure scale folded into the decode (saves a GIL-held
+            # 22 MB multiply per item in the prefetch workers)
+            env, env_ind = self._load_envmap(paths["env"], scale=scale)
+            out["env_gt"] = env
             if self.cascade_level > 0:
                 env_pre = self._load_h5(self._pre_path(self.im_list[ind], "imenv_"))
                 if env_pre is None:
@@ -334,24 +358,45 @@ class OpenRoomsDataset:
         }
 
 
+_WORKER_DS = None
+
+
+def _proc_init(ds):
+    global _WORKER_DS
+    _WORKER_DS = ds
+
+
+def _proc_get(args):
+    epoch, idx = args
+    _WORKER_DS.set_epoch(epoch)
+    return _WORKER_DS[idx]
+
+
 class BatchIterator:
-    """Shuffling, threaded-prefetch batcher over an indexable dataset.
+    """Shuffling, prefetching batcher over an indexable dataset.
 
     The reference uses torch DataLoader with 6-16 worker processes
-    (trainBRDF.py:136-137); here worker THREADS suffice because the heavy
-    lifting (cv2 decode/resize, h5) releases the GIL, and the arrays feed
-    straight into jax.device_put.
+    (trainBRDF.py:136-137).  ``mode="thread"`` (default) prefetches with
+    worker THREADS — enough when the per-item cost is dominated by
+    GIL-releasing work (the native RGBE envmap decoder, cv2, h5);
+    ``mode="process"`` uses a forked process pool (items return over
+    pickle), which wins when the per-item cost is GIL-held numpy/PIL
+    work, as in the BRDF stage — measured on a 4-core host:
+    scripts/bench_loader.py.
     """
 
     def __init__(self, dataset, batch_size, shuffle=True, num_workers=4,
-                 drop_last=True, seed=0):
+                 drop_last=True, seed=0, mode="thread"):
+        assert mode in ("thread", "process"), mode
         self.ds = dataset
         self.bs = batch_size
         self.shuffle = shuffle
         self.workers = num_workers
         self.drop_last = drop_last
+        self.mode = mode
         self.rng = random.Random(seed)
         self._epoch_counter = 0
+        self._pool = None  # lazy persistent process pool
 
     def __len__(self):
         n = len(self.ds)
@@ -387,8 +432,22 @@ class BatchIterator:
                     continue
             return False
 
+        epoch = self._epoch_counter - 1
+
         def produce():
-            if self.workers > 1:
+            if self.mode == "process" and self.workers > 1:
+                pool = self._process_pool()
+                chunk = max(1, self.bs // (2 * self.workers))
+                for idxs in batches:
+                    if abort.is_set():
+                        return
+                    items = list(
+                        pool.map(_proc_get, [(epoch, i) for i in idxs],
+                                 chunksize=chunk)
+                    )
+                    if not put(self._collate(items)):
+                        return
+            elif self.workers > 1:
                 with ThreadPoolExecutor(max_workers=self.workers) as pool:
                     for idxs in batches:
                         if abort.is_set():
@@ -416,6 +475,39 @@ class BatchIterator:
             # early break / generator close: release the producer so it
             # doesn't stay blocked holding staged batches
             abort.set()
+
+    def _process_pool(self):
+        """Persistent SPAWNED worker pool (dataset shipped once via the
+        initializer; per-item traffic is just (epoch, index) in and the
+        item arrays out).
+
+        spawn, not fork: the callers are jax programs with live runtime
+        threads (and the iterator itself runs a producer thread), and a
+        fork can inherit a mutex held by any of them mid-operation —
+        the child deadlocks in malloc/BLAS and the parent waits forever
+        on pool.map.  Spawned workers re-import cleanly (one-time ~1 s
+        startup per worker, amortized by pool persistence)."""
+        if self._pool is None:
+            import multiprocessing as mp
+            from concurrent.futures import ProcessPoolExecutor
+
+            # ensure the native decoder .so exists BEFORE the workers
+            # start so they don't race to compile it
+            from inverserenderingofindoorscene_tpu.native import hdr as nhdr
+
+            nhdr.native_available()
+            self._pool = ProcessPoolExecutor(
+                max_workers=self.workers,
+                mp_context=mp.get_context("spawn"),
+                initializer=_proc_init,
+                initargs=(self.ds,),
+            )
+        return self._pool
+
+    def close(self):
+        if self._pool is not None:
+            self._pool.shutdown(wait=False, cancel_futures=True)
+            self._pool = None
 
     @staticmethod
     def _collate(items):

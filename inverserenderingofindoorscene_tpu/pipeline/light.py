@@ -103,21 +103,33 @@ def mean_normalize(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def light_input_from_preds(
-    im: jnp.ndarray, preds: dict, light_hw=(480, 640)
+    im: jnp.ndarray, preds: dict, light_hw=(480, 640), dtype=None
 ) -> jnp.ndarray:
     """The 11-channel light-encoder input (wrapperBRDFLight.py:149-157).
 
-    preds' albedo/depth must already be mean-normalized.  All maps are
-    bilinearly upsampled to light_hw; normal and rough are shifted to [0,1].
+    preds' albedo/depth must already be mean-normalized; normal and rough
+    are shifted to [0,1] and everything is bilinearly upsampled to
+    light_hw.  The five source maps are concatenated at image resolution
+    and upsampled with ONE 11-channel resize — bilinear interpolation is
+    affine and channelwise, so this equals the reference's five separate
+    upsamples up to float rounding, with a single layout transition
+    instead of five.  ``dtype``: optional cast applied BEFORE the resize
+    so a bf16 encoder gets a bf16 assembly (the input is stop-gradiented;
+    the f32 preds still feed the loss paths unchanged).
     """
-    parts = [
-        resize_bilinear(im, light_hw),
-        resize_bilinear(preds["albedo"], light_hw),
-        0.5 * (resize_bilinear(preds["normal"], light_hw) + 1.0),
-        0.5 * (resize_bilinear(preds["rough"], light_hw) + 1.0),
-        resize_bilinear(preds["depth"], light_hw),
-    ]
-    return jnp.concatenate(parts, axis=-1)
+    stacked = jnp.concatenate(
+        [
+            im,
+            preds["albedo"],
+            0.5 * (preds["normal"] + 1.0),
+            0.5 * (preds["rough"] + 1.0),
+            preds["depth"],
+        ],
+        axis=-1,
+    )
+    if dtype is not None:
+        stacked = stacked.astype(dtype)
+    return resize_bilinear(stacked, light_hw)
 
 
 def light_forward(
@@ -136,7 +148,13 @@ def light_forward(
     reference's ``inputBatch.detach()`` (wrapperBRDFLight.py:159-161).
     """
     inp = jax.lax.stop_gradient(
-        light_input_from_preds(im, brdf_preds, nets.light_hw)
+        light_input_from_preds(
+            im, brdf_preds, nets.light_hw,
+            # bf16 mode: assemble + resize in bf16 (the encoder casts to
+            # bf16 at entry anyway; doing it before the upsample halves
+            # the assembly's bytes and kills the f32->bf16 convert chain)
+            dtype=None if nets.compute_dtype == "float32" else nets._dtype,
+        )
     )
     if nets.cascade_level > 0:
         assert env_pre is not None
