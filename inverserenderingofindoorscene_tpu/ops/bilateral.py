@@ -243,12 +243,25 @@ def build_grid(
     # real/query tag rides the low bit of key2 (real first within a run)
     # and (join id, vertex id) pack into one payload word, so the sort has
     # 3 operands instead of 6.
-    deltas = [  # (key index, add) in nbr order: d major, off=-1 then +1
-        (0, -(1 << by)), (0, (1 << by)),  # x
-        (0, -1), (0, 1),  # y
-        (1, -(1 << (bu + bv))), (1, (1 << (bu + bv))),  # luma
-        (1, -(1 << bv)), (1, (1 << bv)),  # u
-    ]
+    #
+    # Edge mode only needs the four POSITIVE directions: the [1 0 1] blur
+    # adjacency is symmetric (b = key_a + delta exists iff a = key_b -
+    # delta exists), so each (+delta) match emits BOTH directed links and
+    # the join shrinks from 9V to 5V rows — the sort, the two scans, and
+    # the compaction scatter all scale with it.  The dense tables keep
+    # the full 8-query join (they need per-direction rows).
+    if e_max is not None:
+        deltas = [  # positive directions only: x, y, luma, u
+            (0, (1 << by)), (0, 1),
+            (1, (1 << (bu + bv))), (1, (1 << bv)),
+        ]
+    else:
+        deltas = [  # (key index, add) in nbr order: d major, off=-1, +1
+            (0, -(1 << by)), (0, (1 << by)),  # x
+            (0, -1), (0, 1),  # y
+            (1, -(1 << (bu + bv))), (1, (1 << (bu + bv))),  # luma
+            (1, -(1 << bv)), (1, (1 << bv)),  # u
+        ]
     n_join = len(deltas)
     qk1 = jnp.concatenate(
         [vk1 + d1 if ki == 0 else vk1 for ki, d1 in deltas]
@@ -276,47 +289,70 @@ def build_grid(
     # sorts first within its run, so query rows match iff their leader is
     # real.  (Distinct joins can produce equal query keys, so the match is
     # against the run LEADER, not just the previous row.)
+    #
+    # The leader's tag rides a PACKED cummax scan — (ridx << 1) | tag of
+    # the run-start rows propagated forward (ridx < 2^21 for any sane
+    # v_max, so the pack fits int32 and the position term dominates the
+    # max) — instead of an m-row `stag[run_start]` gather: per-row
+    # gathers on the scalar core cost ~11 ms at this length and were the
+    # top non-while ops of the whole step.
     m = s1a.shape[0]
+    assert m < (1 << 30), m  # (ridx << 1) | tag must fit int32
     stag = s2a & 1
     sk2 = s2a >> 1
     ridx = jnp.arange(m, dtype=jnp.int32)
     run_new = (s1a != jnp.roll(s1a, 1)) | (sk2 != jnp.roll(sk2, 1))
     run_new = run_new.at[0].set(True)
-    run_start = _cummax1d(jnp.where(run_new, ridx, 0))
-    leader_tag = stag[run_start]
-    leader_pay = spay[run_start]
+    lead = _cummax1d(jnp.where(run_new, (ridx << 1) | stag, -1))
+    leader_tag = lead & 1
+    run_start = lead >> 1
 
     is_q = stag == 1
     match = is_q & (leader_tag == 0)
 
     if e_max is not None:
-        # Compact edge list: matched query rows ARE the links (src = run
-        # leader's vertex id, dst = the query's own vertex id).  One
-        # cumsum assigns each link its slot; one [m, 2]-payload scatter
-        # writes (scatter cost is per ROW, width is free).  Overflowing
-        # links land in the sacrificial row e_max and are sliced off —
-        # callers check edge_count <= e_max for exactness.
+        # Compact edge list: each matched (+delta) query row IS a
+        # symmetric PAIR of links between the leader and the query's own
+        # vertex.  One cumsum assigns each pair its slot; one
+        # [m, 2]-payload scatter writes (scatter cost is per ROW, width
+        # is free).  The leader's PAYLOAD is resolved AFTER compaction —
+        # scatter the run-start positions, then gather spay at only
+        # e_max/2 rows instead of m (padded rows read spay[0]
+        # harmlessly; their sentinel dst = v_max drops both directed
+        # links from the blur).  Overflowing pairs land in the
+        # sacrificial row and are sliced off — callers check
+        # edge_count <= e_max for exactness.
+        e_pairs = e_max // 2
+        assert e_pairs * 2 == e_max, e_max  # capacity counts DIRECTED links
         epos = _cumsum1d(match.astype(jnp.int32)) - 1
-        dstq = spay % v_max  # query payload = j*v_max + dst vertex id
-        write = match & (epos < e_max)
-        slot = jnp.where(write, epos, e_max)
+        dstq = spay % v_max  # query payload = j*v_max + own vertex id
+        write = match & (epos < e_pairs)
+        slot = jnp.where(write, epos, e_pairs)
         payload2 = jnp.stack(
-            [jnp.where(write, leader_pay, 0), jnp.where(write, dstq, v_max)],
+            [jnp.where(write, run_start, 0), jnp.where(write, dstq, v_max)],
             axis=1,
         )
         buf = jnp.concatenate(
-            [jnp.zeros((e_max + 1, 1), jnp.int32),
-             jnp.full((e_max + 1, 1), v_max, jnp.int32)], axis=1
+            [jnp.zeros((e_pairs + 1, 1), jnp.int32),
+             jnp.full((e_pairs + 1, 1), v_max, jnp.int32)], axis=1
         ).at[slot].set(payload2)
+        lead_v = spay[buf[:e_pairs, 0]]
+        own_v = buf[:e_pairs, 1]
+        pad = own_v == v_max
         return BilateralGrid(
             vert_of_pixel=vert_of_pixel,
             nbr=jnp.stack([nbr_vm, nbr_vp]),
             valid=valid,
-            edge_src=buf[:e_max, 0],
-            edge_dst=buf[:e_max, 1],
-            edge_count=jnp.sum(match.astype(jnp.int32)),
+            edge_src=jnp.concatenate(
+                [lead_v, jnp.minimum(own_v, v_max - 1)]
+            ),
+            edge_dst=jnp.concatenate(
+                [own_v, jnp.where(pad, v_max, lead_v)]
+            ),
+            edge_count=2 * jnp.sum(match.astype(jnp.int32)),
         )
 
+    leader_pay = spay[run_start]
     slot = jnp.where(is_q, spay, m)  # == j*v_max + v; non-query rows dropped
     nbr_flat = jnp.full((n_join * v_max,), -1, jnp.int32)
     nbr_flat = nbr_flat.at[slot].set(
