@@ -376,6 +376,35 @@ def main():
         log(f"bilateral fwd+bwd {dt_bs*1e3:.3f} ms / image")
         emit()
 
+    if remaining() > 60:
+        # r3: the edge-list blur + capacity-bucket path (the production
+        # default of the train CLI / inference chain) at the same shape —
+        # exact (validated vs dense in tests), far fewer gather rows
+        from inverserenderingofindoorscene_tpu.ops.bilateral import (
+            bilateral_solve_stats,
+            edge_bucket,
+        )
+
+        _, st = jax.jit(
+            lambda t, c: bilateral_solve_stats(
+                guide, t, c, MODE_PARAMS[0], H * W, 8 * H * W
+            )
+        )(target, conf)
+        e_cap = edge_bucket(int(np.asarray(st["nedges"]).max()), H * W)
+
+        def bs_loss_e(t, c):
+            return jnp.sum(
+                bilateral_solve(guide, t, c, MODE_PARAMS[0], H * W, e_cap)
+            )
+
+        g_bse = jax.jit(jax.grad(bs_loss_e, argnums=(0, 1)))
+        log(f"compiling bilateral edge-mode fwd+bwd (e_cap={e_cap}) ...")
+        fence(g_bse(target, conf))
+        dt_bse, _ = timeit(g_bse, (target, conf), target_s=2.0)
+        extra["bilateral_edge_fwd_bwd_ms"] = round(dt_bse * 1e3, 3)
+        log(f"bilateral edge-mode fwd+bwd {dt_bse*1e3:.3f} ms / image")
+        emit()
+
     log(f"done with {remaining():.0f}s of budget left")
 
 
