@@ -48,12 +48,14 @@ def _auto_vmax_dispatch(opt, brdf_nets, brdf_params, jit_step):
     step compiled at the smallest ladder capacity that holds them — exact
     (no cells merge) with a bounded number of step compiles.
 
-    Edge capacity (the compact-blur link list) is validated AFTER the
-    fact: the step returns the true nvert/nedges maxima as metrics, and
-    a batch whose counts overflowed the current buckets is re-run at the
+    Capacities (vertex AND edge buckets) are validated AFTER the fact:
+    the step returns the true nvert/nedges maxima as metrics, and a
+    batch whose counts overflowed the current buckets is re-run at the
     bumped capacity (results of the overflowed run are discarded), so
-    every accepted step is exact.  Steady state pays zero extra cost and
-    the retry path costs at most one recompile per bucket bump."""
+    every accepted step is exact.  Only the FIRST batch pays an extra
+    counting forward to seed the vertex bucket; steady state pays zero
+    extra cost and the retry path costs at most one recompile per
+    bucket bump."""
     import jax.numpy as jnp
     import numpy as np
 
@@ -80,30 +82,40 @@ def _auto_vmax_dispatch(opt, brdf_nets, brdf_params, jit_step):
         )
 
     steps = {}
-    ecap_of = {}  # v_cap -> edge bucket for the NEXT batch
-    seen_edges = {}  # v_cap -> running max of observed nedges
+    caps = {}  # "v": vertex bucket; "guess_e": first-run edge guess;
+    # "seen_e": {v_cap: running max of TRUE observed edge counts}
 
     def step_fn(state, batch):
-        nvert = int(np.asarray(jit_counts(batch)).max())
-        vcap = bucket_capacity(nvert, n_pixels)
-        # First batch at this v_cap: a 2*nvert guess (only its exactness
-        # matters — the accepted run's TRUE count immediately tightens
-        # the bucket for all subsequent batches).
-        ecap = ecap_of.get(vcap, edge_bucket(2 * nvert, vcap))
+        if "v" not in caps:  # first batch only: seed the vertex bucket
+            nvert0 = int(np.asarray(jit_counts(batch)).max())
+            caps["v"] = bucket_capacity(nvert0, n_pixels)
+            caps["guess_e"] = edge_bucket(2 * nvert0, caps["v"])
+            caps["seen_e"] = {}
         while True:
+            vcap = caps["v"]
+            seen = caps["seen_e"].get(vcap)
+            ecap = (edge_bucket(seen, vcap) if seen is not None
+                    else caps["guess_e"])
             key = (vcap, ecap)
             if key not in steps:
                 steps[key] = jit_step(
                     BilateralNets(v_max=vcap, e_max=ecap), donate=False
                 )
             new_state, metrics = steps[key](state, batch)
+            # nedges_max is the TRUE link count (never clipped);
+            # nvert_max IS clipped by the capacity (overfull cells merge
+            # silently, ops/bilateral.py build_grid), so at-capacity
+            # means "possibly clipped" and must bump unless the bucket
+            # is already one-vertex-per-pixel.
+            nvert = int(metrics["nvert_max"])
             nedges = int(metrics["nedges_max"])
-            if nedges <= ecap:
-                seen = max(seen_edges.get(vcap, 0), nedges)
-                seen_edges[vcap] = seen
-                ecap_of[vcap] = edge_bucket(seen, vcap)
+            caps["seen_e"][vcap] = max(seen or 0, nedges)
+            v_clipped = nvert >= vcap and vcap < n_pixels
+            if not v_clipped and nedges <= ecap:
                 return new_state, metrics
-            ecap = edge_bucket(nedges, vcap)
+            # overflow: discard the (inexact) run, bump, re-run
+            if v_clipped:
+                caps["v"] = bucket_capacity(vcap + 1, n_pixels)
 
     return step_fn
 

@@ -398,6 +398,11 @@ class InverseRenderer:
                  fused=False, param_sharding=None):
         self.level = len(stacks)
         assert self.level in (1, 2), self.level
+        # is_light gates only which PRODUCTS callers write — lighting
+        # itself runs at every level like the reference's testReal
+        # cascade loop (its isLight flag also only gates saving), since
+        # the per-level cLight/cAlbedo scales apply to the saved BRDF
+        # maps either way.
         self.is_light = is_light
         self.is_bs = is_bs
         self.fused = fused
@@ -481,15 +486,18 @@ class InverseRenderer:
         """The full chain with pluggable scale disambiguation:
         :func:`predict_light_traced` when jitted whole (fused), the
         identity when the caller applies :func:`predict_light` on host."""
+        # Lighting runs at EVERY level unconditionally, like the
+        # reference's testReal cascade loop (testReal.py:382-529 —
+        # opt.isLight only gates which PRODUCTS are saved): the
+        # per-level cLight/cAlbedo scales apply to the saved BRDF maps
+        # whether or not light products are written.
         brdf0_nets, light0_nets = nets[0]
         preds = predict_brdf(brdf0_nets, params[0], im)
         all_preds = [preds]
-        lights = []
-        if self.is_light or self.level == 2:
-            lights.append(light_post(predict_light_core(
-                light0_nets, params[1], im, preds, im_small, fov,
-                use_pallas=use_pallas,
-            )))
+        lights = [light_post(predict_light_core(
+            light0_nets, params[1], im, preds, im_small, fov,
+            use_pallas=use_pallas,
+        ))]
         if self.level == 2:
             brdf1_nets, light1_nets = nets[1]
             extra = _cascade1_extra(
@@ -497,15 +505,14 @@ class InverseRenderer:
             )
             preds = predict_brdf(brdf1_nets, params[2], im, extra)
             all_preds.append(preds)
-            if self.is_light:
-                lights.append(light_post(predict_light_core(
-                    light1_nets, params[3], im, preds, im_small, fov,
-                    lights[0]["sg_flat"], use_pallas=use_pallas,
-                )))
+            lights.append(light_post(predict_light_core(
+                light1_nets, params[3], im, preds, im_small, fov,
+                lights[0]["sg_flat"], use_pallas=use_pallas,
+            )))
         return {
             "preds": all_preds,
             "lights": lights,
-            "light": lights[-1] if lights else None,
+            "light": lights[-1],
         }
 
     def __call__(self, im, im_small, fov=57.0):
@@ -514,18 +521,17 @@ class InverseRenderer:
         im [1,H,W,3] linear RGB in 0..1; im_small [1,eh,ew,3] (the
         lighting-grid resize of the same photo); fov in degrees.
         Returns {"preds": [per-cascade pred dicts], "lights": [per-level
-        light dicts — cascade-0's is present even when is_light=False at
-        level==2, since the cascade-1 input needs its rendered
-        components], "light": the final level's light dict or None,
-        "refined": [per-level refined dicts] or None — every cascade
-        level is refined with its own BS params like the reference
-        (testReal.py:532-540)}."""
+        light dicts — lighting runs at every level regardless of
+        is_light, mirroring testReal], "light": the final level's light
+        dict, "refined": [per-level refined dicts] or None — every
+        cascade level is refined with its own BS params like the
+        reference (testReal.py:532-540)}."""
         if self.fused:
             out = self._chain(im, im_small, fov)
             all_preds, lights = out["preds"], out["lights"]
             light_out = out["light"]
         else:
-            if (self.is_light or self.level == 2) and im.shape[0] != 1:
+            if im.shape[0] != 1:
                 raise ValueError(
                     "staged mode fits one global cLight/cAlbedo scale "
                     "(the reference driver's strictly-B1 semantics); use "
@@ -533,22 +539,20 @@ class InverseRenderer:
                 )
             preds = self._brdf0(im)
             all_preds = [preds]
-            lights = []
-            if self.is_light or self.level == 2:
-                lights.append(predict_light(
-                    self._light0(im, preds, im_small, fov)
-                ))
+            # lighting at every level, like the reference (see _run_chain)
+            lights = [predict_light(
+                self._light0(im, preds, im_small, fov)
+            )]
             if self.level == 2:
                 preds = self._brdf1(
                     im, preds, lights[0]["diffuse"], lights[0]["specular"]
                 )
                 all_preds.append(preds)
-                if self.is_light:
-                    lights.append(predict_light(
-                        self._light1(im, preds, im_small, fov,
-                                     lights[0]["sg_flat"])
-                    ))
-            light_out = lights[-1] if lights else None
+                lights.append(predict_light(
+                    self._light1(im, preds, im_small, fov,
+                                 lights[0]["sg_flat"])
+                ))
+            light_out = lights[-1]
         bs_out = (
             [fn(im, p) for fn, p in zip(self._bs_fns, all_preds)]
             if self.is_bs else None
