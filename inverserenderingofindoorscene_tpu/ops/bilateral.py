@@ -428,7 +428,7 @@ def bistochastize(grid: BilateralGrid, maxiter: int = 10):
         bl = blur(grid, n[:, None])[:, 0]
         return jnp.sqrt(n * m / jnp.maximum(bl, 1e-20))
 
-    n = jax.lax.fori_loop(0, maxiter, body, n0)
+    n = jax.lax.fori_loop(0, maxiter, body, n0, unroll=5)
     m = n * blur(grid, n[:, None])[:, 0]
     return n, m
 
@@ -472,7 +472,7 @@ def _pcg(a_fn, b, y0, a_diag, maxiter, tol):
         return (y, r, z, p, rz_new)
 
     state = (y0, r0, z0, z0, csum(r0 * z0))
-    y, *_ = jax.lax.fori_loop(0, maxiter, body, state)
+    y, *_ = jax.lax.fori_loop(0, maxiter, body, state, unroll=4)
     return y
 
 
