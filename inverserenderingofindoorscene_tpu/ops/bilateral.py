@@ -776,6 +776,50 @@ class BucketedSolver:
                 return out
             ecap = edge_bucket(nedges, cap)
 
+    def solve_many(self, guide, targets, confs, params_seq, nverts):
+        """Solve several modes OFF THE SAME GUIDE in one jit dispatch.
+
+        The testReal chain runs albedo/rough/depth refinement back to
+        back; per-call dispatch overhead on remote backends (~5 ms on
+        the axon tunnel) and the lost overlap make three calls
+        needlessly slow.  Buckets follow the same per-(params, v_cap)
+        observed-count policy as :meth:`solve`; an overflow re-runs the
+        whole combined call (rare, and every returned result is exact).
+        Returns a list of refined arrays in ``params_seq`` order."""
+        n_pixels = guide.shape[1] * guide.shape[2]
+        vcaps = [
+            bucket_capacity(nv, n_pixels, self.ladder) for nv in nverts
+        ]
+        if not self.use_edges:
+            ecaps = [None] * len(vcaps)
+        while True:
+            if self.use_edges:
+                ecaps = [
+                    self._ecap.get((p, vc), edge_bucket(2 * nv, vc))
+                    for p, vc, nv in zip(params_seq, vcaps, nverts)
+                ]
+            key = tuple(zip(params_seq, vcaps, ecaps))
+            if key not in self._solve:
+                def f(g, ts, cs, key=key):
+                    return tuple(
+                        bilateral_solve_stats(g, t, c, p, vc, ec)
+                        for t, c, (p, vc, ec) in zip(ts, cs, key)
+                    )
+
+                self._solve[key] = jax.jit(f)
+            pairs = self._solve[key](guide, tuple(targets), tuple(confs))
+            if not self.use_edges:
+                return [out for out, _ in pairs]
+            ok = True
+            for (p, vc, ec), (_, st) in zip(key, pairs):
+                nedges = int(np.asarray(st["nedges"]).max())
+                seen = max(self._seen.get((p, vc), 0), nedges)
+                self._seen[(p, vc)] = seen
+                self._ecap[(p, vc)] = edge_bucket(seen, vc)
+                ok = ok and nedges <= ec
+            if ok:
+                return [out for out, _ in pairs]
+
     def __call__(self, guide, target, conf, params: BSParams):
         (nvert,) = self.counts(guide, (params,))
         return self.solve(guide, target, conf, params, nvert)

@@ -327,10 +327,12 @@ def make_bs_fns(bs_params_list, v_max_opt):
         def bs_fn(im, preds):
             guide, targets, confs = jit_prep(bsp, im, preds)
             nv = solver.counts(guide, mode_params)
-            out = {
-                k: solver.solve(guide, targets[k], confs[k], p, n)
-                for (k, _), p, n in zip(_BS_MODES, mode_params, nv)
-            }
+            keys = [k for k, _ in _BS_MODES]
+            outs = solver.solve_many(
+                guide, [targets[k] for k in keys],
+                [confs[k] for k in keys], mode_params, nv,
+            )
+            out = dict(zip(keys, outs))
             out["rough"] = post_rough(out["rough"])
             return out
 
