@@ -13,13 +13,18 @@ Here the whole pipeline is jit-able JAX on TPU with STATIC shapes:
     static vertex capacity ``v_max``.  Packing preserves per-field
     lexicographic order, so vertex ordering is identical to a 5-key sort
     while the comparator is 2.5x narrower;
-  * the [1 0 1] per-dim blur adjacency (BilateralGrid.py:73-84) becomes 10
-    neighbor-index arrays built with ONE batched sort-merge join: all ten
-    (dim, +-1) query sets (a +-1 shift of packed keys is one integer add)
-    are sorted TOGETHER with the real vertex rows, and each query row
-    matches iff the first row of its equal-key run is a real vertex
-    (run leaders found with a cummax over run-start indices) — no sparse
-    matrices, blur = 2*dim*y + sum of gathers;
+  * the [1 0 1] per-dim blur adjacency (BilateralGrid.py:73-84) is built
+    with ONE batched sort-merge join: shifted query sets (a +-1 shift of
+    packed keys is one integer add) sort TOGETHER with the real vertex
+    rows, and a query matches iff the first row of its equal-key run is
+    a real vertex (the leader's tag rides a packed (ridx<<1)|tag cummax
+    — no per-row gathers).  Dense mode scatters 10 neighbor-index
+    tables (blur = 2*dim*y + 8 masked gathers + 2 rolls); edge mode
+    (e_max) compacts only the links that EXIST — the adjacency is
+    symmetric, so the join queries just the four positive directions
+    and each match emits both directed links — and blur becomes one
+    edge-count-row gather + segment_sum, the production default behind
+    the exact capacity-bucket dispatchers (docs/kernels.md);
   * splat/slice = segment-sum / gather through the pixel->vertex map;
   * bistochastization (BilateralGrid.py:109-120) and Jacobi-preconditioned
     CG (BilateralGrid.py:128-150) run as ``lax.fori_loop``s with fixed
