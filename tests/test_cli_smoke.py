@@ -105,6 +105,36 @@ def test_openrooms_loader_contract(dataset):
     assert len(b["name"]) == 2
 
 
+def test_batch_iterator_process_mode_matches_thread(dataset):
+    """The spawned process-pool prefetch (the train CLIs' default for
+    BRDF-stage loaders) must yield the SAME batches as the thread/serial
+    modes: augmentations are keyed by (seed, epoch, item), not worker."""
+    from inverserenderingofindoorscene_tpu.data.openrooms import (
+        BatchIterator,
+        OpenRoomsDataset,
+    )
+
+    ds = OpenRoomsDataset(dataset, im_hw=IM_HW, env_rc=ENV_RC)
+    serial = list(BatchIterator(ds, 2, num_workers=1, seed=3))
+    itp = BatchIterator(ds, 2, num_workers=2, seed=3, mode="process")
+    try:
+        proc = list(itp)
+        assert len(proc) == len(serial) > 0
+        for bs, bp in zip(serial, proc):
+            assert bs["name"] == bp["name"]
+            for k in bs:
+                if k == "name":
+                    continue
+                np.testing.assert_array_equal(bp[k], bs[k], err_msg=k)
+        # second epoch advances the augmentation stream identically
+        s2 = list(BatchIterator(ds, 2, num_workers=1, seed=3,
+                                mode="thread"))  # epoch 0 again
+        p2 = list(itp)  # epoch 1
+        assert not np.array_equal(p2[0]["im"], s2[0]["im"])
+    finally:
+        itp.close()
+
+
 def test_train_brdf_cli(dataset, tmp_path):
     from inverserenderingofindoorscene_tpu.cli import train_brdf
 
