@@ -116,6 +116,11 @@ def _auto_vmax_dispatch(opt, brdf_nets, brdf_params, jit_step):
             # overflow: discard the (inexact) run, bump, re-run
             if v_clipped:
                 caps["v"] = bucket_capacity(vcap + 1, n_pixels)
+                # reseed the bigger bucket's edge guess from what was
+                # just observed (a larger grid has at least as many
+                # links), not the first batch's stale guess — avoids a
+                # guaranteed wasted execution at the new v_cap
+                caps["guess_e"] = edge_bucket(2 * nedges, caps["v"])
 
     return step_fn
 

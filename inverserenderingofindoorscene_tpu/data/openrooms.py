@@ -240,8 +240,12 @@ class OpenRoomsDataset:
                 return nhdr.decode_rgbe_pooled(path, r, c, eh0, ew0, eh,
                                                ew, scale), 1.0
             except ValueError as e:
-                print("Warning: native envmap decode failed (%s)." % e)
-                return np.zeros((r, c, d, 3), np.float32), 0.0
+                # a file the native decoder rejects (header variant,
+                # unexpected resolution) falls THROUGH to the cv2 path —
+                # only a file cv2 also can't read becomes the reference's
+                # zero-envmap + env_ind=0 fallback
+                print("Warning: native envmap decode failed (%s); "
+                      "falling back to cv2." % e)
 
         import cv2
 
@@ -368,7 +372,8 @@ def _proc_init(ds):
 
 def _proc_get(args):
     epoch, idx = args
-    _WORKER_DS.set_epoch(epoch)
+    if hasattr(_WORKER_DS, "set_epoch"):  # same contract as __iter__
+        _WORKER_DS.set_epoch(epoch)
     return _WORKER_DS[idx]
 
 

@@ -52,11 +52,16 @@ def _load():
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not osp.isfile(_LIB_PATH) or (
-            osp.getmtime(_LIB_PATH) < osp.getmtime(_SRC)
-        ):
-            if not _build():
-                return None
+        # The .so is a build artifact (never checked in — git would not
+        # preserve the mtimes this staleness check relies on).  Rebuild
+        # when missing or older than the source; a failed rebuild still
+        # falls back to an existing binary rather than dropping to the
+        # ~10x slower cv2 path.
+        stale = not osp.isfile(_LIB_PATH) or (
+            osp.getmtime(_LIB_PATH) <= osp.getmtime(_SRC)
+        )
+        if stale and not _build() and not osp.isfile(_LIB_PATH):
+            return None
         try:
             lib = ctypes.CDLL(_LIB_PATH)
         except OSError:

@@ -32,6 +32,17 @@
 #include <stdlib.h>
 #include <string.h>
 
+/* exponent lookup: v = byte * 2^(E-136), 0 when E == 0 (OpenCV parity).
+ * Filled once at dlopen time (library constructors run single-threaded),
+ * NOT lazily per call: the decoder is invoked from several GIL-released
+ * loader threads at once and a lazy static init would be a data race. */
+static float ldexp_tab[256];
+
+__attribute__((constructor)) static void init_ldexp_tab(void) {
+    for (int i = 1; i < 256; i++) ldexp_tab[i] = ldexpf(1.0f, i - 136);
+    ldexp_tab[0] = 0.0f;
+}
+
 /* Decode one new-style RLE channel stream into dst[0..width).
  * Returns bytes consumed from src, or -1 on malformed input. */
 static long decode_channel(const uint8_t *src, long avail, uint8_t *dst,
@@ -97,14 +108,6 @@ static void accumulate(const uint8_t *r, const uint8_t *g, const uint8_t *b,
                        const uint8_t *e, long width, long y, float *out,
                        long cols, long eh0, long ew0, long eh, long ew,
                        float inv_pool) {
-    /* exponent lookup: v = byte * 2^(E-136), 0 when E == 0 (OpenCV) */
-    static float ldexp_tab[256];
-    static int init = 0;
-    if (!init) {
-        for (int i = 1; i < 256; i++) ldexp_tab[i] = ldexpf(1.0f, i - 136);
-        ldexp_tab[0] = 0.0f;
-        init = 1;
-    }
     long R = y / eh0;
     long ehi = (y % eh0) / (eh0 / eh);
     long d = eh * ew;
@@ -177,7 +180,7 @@ int rgbe_decode_pooled(const uint8_t *buf, long n, float *out, long rows,
                         E = buf[pos + 3];
                 pos += 4;
                 if (R == 1 && G == 1 && B == 1) {
-                    if (x == 0) goto fail;
+                    if (x == 0 || shift > 24) goto fail;
                     long rep = (long)E << shift;
                     if (x + rep > w) goto fail;
                     for (long k = 0; k < rep; k++) {
@@ -220,14 +223,6 @@ int rgbe_decode(const uint8_t *buf, long n, float *out, long expected_h,
         (expected_w > 0 && w != expected_w))
         return -3;
 
-    static float ldexp_tab[256];
-    static int init = 0;
-    if (!init) {
-        for (int i = 1; i < 256; i++) ldexp_tab[i] = ldexpf(1.0f, i - 136);
-        ldexp_tab[0] = 0.0f;
-        init = 1;
-    }
-
     uint8_t *planes = (uint8_t *)malloc(4 * w);
     if (!planes) return -5;
     uint8_t *pr = planes, *pg = planes + w, *pb = planes + 2 * w,
@@ -252,7 +247,7 @@ int rgbe_decode(const uint8_t *buf, long n, float *out, long expected_h,
                         E = buf[pos + 3];
                 pos += 4;
                 if (R == 1 && G == 1 && B == 1) {
-                    if (x == 0) goto fail;
+                    if (x == 0 || shift > 24) goto fail;
                     long rep = (long)E << shift;
                     if (x + rep > w) goto fail;
                     for (long k = 0; k < rep; k++) {

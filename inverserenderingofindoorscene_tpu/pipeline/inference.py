@@ -400,11 +400,11 @@ class InverseRenderer:
                  fused=False, param_sharding=None):
         self.level = len(stacks)
         assert self.level in (1, 2), self.level
-        # is_light gates only which PRODUCTS callers write — lighting
-        # itself runs at every level like the reference's testReal
-        # cascade loop (its isLight flag also only gates saving), since
-        # the per-level cLight/cAlbedo scales apply to the saved BRDF
-        # maps either way.
+        # At level 2 lighting runs at every level like the reference's
+        # testReal cascade loop (its isLight flag only gates saving) and
+        # is_light gates which PRODUCTS callers write; at level 1,
+        # is_light=False is the BRDF-only fast path (no light compute,
+        # batched calls allowed).
         self.is_light = is_light
         self.is_bs = is_bs
         self.fused = fused
@@ -488,18 +488,22 @@ class InverseRenderer:
         """The full chain with pluggable scale disambiguation:
         :func:`predict_light_traced` when jitted whole (fused), the
         identity when the caller applies :func:`predict_light` on host."""
-        # Lighting runs at EVERY level unconditionally, like the
-        # reference's testReal cascade loop (testReal.py:382-529 —
-        # opt.isLight only gates which PRODUCTS are saved): the
-        # per-level cLight/cAlbedo scales apply to the saved BRDF maps
-        # whether or not light products are written.
+        # At level 2, lighting runs at EVERY level like the reference's
+        # testReal cascade loop (testReal.py:382-529 — opt.isLight only
+        # gates which PRODUCTS are saved): the per-level cLight/cAlbedo
+        # scales apply to the saved BRDF maps whether or not light
+        # products are written.  is_light=False at level 1 is the
+        # explicit BRDF-only fast path (no light compute, no scale —
+        # a deliberate opt-out from testReal's always-scaled albedo).
         brdf0_nets, light0_nets = nets[0]
         preds = predict_brdf(brdf0_nets, params[0], im)
         all_preds = [preds]
-        lights = [light_post(predict_light_core(
-            light0_nets, params[1], im, preds, im_small, fov,
-            use_pallas=use_pallas,
-        ))]
+        lights = []
+        if self.is_light or self.level == 2:
+            lights.append(light_post(predict_light_core(
+                light0_nets, params[1], im, preds, im_small, fov,
+                use_pallas=use_pallas,
+            )))
         if self.level == 2:
             brdf1_nets, light1_nets = nets[1]
             extra = _cascade1_extra(
@@ -514,7 +518,7 @@ class InverseRenderer:
         return {
             "preds": all_preds,
             "lights": lights,
-            "light": lights[-1],
+            "light": lights[-1] if lights else None,
         }
 
     def __call__(self, im, im_small, fov=57.0):
@@ -523,17 +527,18 @@ class InverseRenderer:
         im [1,H,W,3] linear RGB in 0..1; im_small [1,eh,ew,3] (the
         lighting-grid resize of the same photo); fov in degrees.
         Returns {"preds": [per-cascade pred dicts], "lights": [per-level
-        light dicts — lighting runs at every level regardless of
-        is_light, mirroring testReal], "light": the final level's light
-        dict, "refined": [per-level refined dicts] or None — every
-        cascade level is refined with its own BS params like the
-        reference (testReal.py:532-540)}."""
+        light dicts — at level 2 lighting runs at every level mirroring
+        testReal; empty only for the level-1 BRDF-only fast path],
+        "light": the final level's light dict or None, "refined":
+        [per-level refined dicts] or None — every cascade level is
+        refined with its own BS params like the reference
+        (testReal.py:532-540)}."""
         if self.fused:
             out = self._chain(im, im_small, fov)
             all_preds, lights = out["preds"], out["lights"]
             light_out = out["light"]
         else:
-            if im.shape[0] != 1:
+            if (self.is_light or self.level == 2) and im.shape[0] != 1:
                 raise ValueError(
                     "staged mode fits one global cLight/cAlbedo scale "
                     "(the reference driver's strictly-B1 semantics); use "
@@ -541,10 +546,12 @@ class InverseRenderer:
                 )
             preds = self._brdf0(im)
             all_preds = [preds]
-            # lighting at every level, like the reference (see _run_chain)
-            lights = [predict_light(
-                self._light0(im, preds, im_small, fov)
-            )]
+            # lighting at every level when any light runs (see _run_chain)
+            lights = []
+            if self.is_light or self.level == 2:
+                lights.append(predict_light(
+                    self._light0(im, preds, im_small, fov)
+                ))
             if self.level == 2:
                 preds = self._brdf1(
                     im, preds, lights[0]["diffuse"], lights[0]["specular"]
@@ -554,7 +561,7 @@ class InverseRenderer:
                     self._light1(im, preds, im_small, fov,
                                  lights[0]["sg_flat"])
                 ))
-            light_out = lights[-1]
+            light_out = lights[-1] if lights else None
         bs_out = (
             [fn(im, p) for fn, p in zip(self._bs_fns, all_preds)]
             if self.is_bs else None
