@@ -187,6 +187,96 @@ def test_train_bilateral_cli_auto_vmax(dataset, tmp_path):
     assert ckpt.latest_epoch(exp, "bs", 0) == 0
 
 
+def test_auto_dispatch_bump_on_edge_overflow(dataset):
+    """The exactness guarantee of the auto-capacity dispatch: a batch
+    whose edge count overflows the current bucket must be re-run at a
+    bumped capacity, and the ACCEPTED step must match a fresh run at an
+    ample capacity exactly (the overflowed run's state is discarded)."""
+    import jax
+
+    from inverserenderingofindoorscene_tpu.cli.train_bilateral import (
+        _auto_vmax_dispatch,
+        parse_args,
+    )
+    from inverserenderingofindoorscene_tpu.data.synthetic import (
+        synthetic_batch,
+    )
+    from inverserenderingofindoorscene_tpu.ops.bilateral import edge_bucket
+    from inverserenderingofindoorscene_tpu.pipeline.bilateral import (
+        BilateralNets,
+    )
+    from inverserenderingofindoorscene_tpu.pipeline.brdf import BRDFNets
+    from inverserenderingofindoorscene_tpu.train.steps import (
+        create_train_state,
+        make_bilateral_train_step,
+        reference_adam,
+    )
+
+    # 48x64: large enough that a smooth guide's link count exceeds the
+    # 1024-minimum edge bucket the noise batch tightens to
+    im_hw = (48, 64)
+    opt = parse_args(["--dataRoot", dataset, "--imHeight", str(im_hw[0]),
+                      "--imWidth", str(im_hw[1])])
+    brdf_nets = BRDFNets(cascade_level=0)
+    bs_nets_init = BilateralNets()
+    bp = brdf_nets.init(jax.random.PRNGKey(0), im_hw)
+    sp = bs_nets_init.init(jax.random.PRNGKey(1), im_hw)
+
+    calls = []  # one entry per step EXECUTION: (v_max, e_max)
+
+    def jit_step(nets, donate=True):
+        inner = jax.jit(make_bilateral_train_step(brdf_nets, nets, bp))
+
+        def wrapped(state, batch):
+            calls.append((nets.v_max, nets.e_max))
+            return inner(state, batch)
+
+        return wrapped
+
+    step_fn = _auto_vmax_dispatch(opt, brdf_nets, bp, jit_step)
+
+    # batch 1: random noise -> almost no edges; the accepted run
+    # tightens the edge bucket to the observed-count minimum
+    b1 = synthetic_batch(batch=1, im_hw=im_hw, env_rc=(16, 16), seed=0)
+    state = create_train_state(sp, reference_adam(1e-4))
+    state, m1 = step_fn(state, b1)
+    assert int(m1["nedges_max"]) <= calls[-1][1]
+
+    # batch 2: a smooth image -> many real grid links; force an
+    # overflow of the tightened bucket and verify the bump + exactness
+    yy, xx = np.mgrid[0:im_hw[0], 0:im_hw[1]]
+    smooth = np.stack([xx / im_hw[1], yy / im_hw[0],
+                       0.5 + 0.4 * np.sin(xx / 3.0)], -1)
+    b2 = dict(b1)
+    b2["im"] = jax.numpy.asarray(
+        np.clip(smooth + np.random.RandomState(1).randn(*smooth.shape)
+                * 0.01, 0, 1)[None],
+        b1["im"].dtype,
+    )
+    n_before = len(calls)
+    state2, m2 = step_fn(state, b2)
+    nedges2 = int(m2["nedges_max"])
+    batch2_calls = calls[n_before:]
+    # the overflow path must actually fire: first attempt at the bucket
+    # tightened by batch 1, then the bumped re-run that gets accepted
+    assert len(batch2_calls) >= 2, (batch2_calls, nedges2)
+    assert nedges2 > batch2_calls[0][1], (batch2_calls, nedges2)
+    assert nedges2 <= batch2_calls[-1][1], (batch2_calls, nedges2)
+
+    # the accepted result equals a fresh ample-capacity run bit-for-bit
+    # in its losses (the discarded overflow run must not leak into state)
+    ample = jax.jit(make_bilateral_train_step(
+        brdf_nets,
+        BilateralNets(v_max=im_hw[0] * im_hw[1],
+                      e_max=edge_bucket(nedges2, im_hw[0] * im_hw[1])),
+        bp,
+    ))
+    _, m_ref = ample(state, b2)
+    for k in ("albedo_bs", "rough_bs", "depth_bs", "total"):
+        np.testing.assert_allclose(float(m2[k]), float(m_ref[k]),
+                                   rtol=1e-5, err_msg=k)
+
+
 def test_output_and_cascade1_roundtrip(dataset, tmp_path):
     """Export cascade-0 intermediates, then load them as a cascade-1 batch."""
     from inverserenderingofindoorscene_tpu.cli import output_brdf_light
