@@ -438,7 +438,7 @@ def bistochastize(grid: BilateralGrid, maxiter: int = 10):
     return n, m
 
 
-def _pcg(a_fn, b, y0, a_diag, maxiter, tol):
+def _pcg(a_fn, b, y0, a_diag, maxiter, tol, miter=None):
     """Jacobi-preconditioned CG with scipy-style rtol stopping (masked).
 
     The reference solves each channel with its OWN scipy CG
@@ -448,7 +448,12 @@ def _pcg(a_fn, b, y0, a_diag, maxiter, tol):
     solves) but every CG SCALAR is a per-channel [C] vector — alpha,
     beta, residual norms, and the convergence mask — which makes the
     iterates exactly the independent per-channel Krylov sequences of the
-    reference, not one shared polynomial tuned to the dominant channel."""
+    reference, not one shared polynomial tuned to the dominant channel.
+
+    ``maxiter`` is the STATIC loop bound; ``miter`` optionally bounds
+    THIS problem's iterations with a traced scalar <= maxiter (updates
+    freeze once i >= miter) — how the multi-problem batched solve runs
+    modes with different reference cg_maxiter in one shared loop."""
     minv = 1.0 / a_diag  # [V]
 
     def prec(r):
@@ -461,9 +466,11 @@ def _pcg(a_fn, b, y0, a_diag, maxiter, tol):
     z0 = prec(r0)
     atol = jnp.maximum(tol * jnp.sqrt(csum(b * b)), 0.0)  # [C]
 
-    def body(_, state):
+    def body(i, state):
         y, r, z, p, rz = state
         done = jnp.sqrt(csum(r * r)) <= atol  # [C]
+        if miter is not None:
+            done = done | (i >= miter)
         ap = a_fn(p)
         denom = csum(p * ap)
         alpha = jnp.where(jnp.abs(denom) > 0, rz / denom, 0.0)
@@ -482,7 +489,7 @@ def _pcg(a_fn, b, y0, a_diag, maxiter, tol):
 
 
 def _solve_system(grid, n, m, w_splat, b, lam, a_diag_min, cg_maxiter,
-                  cg_tol, y0):
+                  cg_tol, y0, miter=None):
     """Solve (lam*A_smooth + diag(w_splat)) y = b — the shared PCG core of
     the forward (BilateralGrid.py:128-150) and gradient (152-184) solves.
     ``w_splat`` [V] and the RHS ``b`` [V, C] are precomputed splats."""
@@ -493,7 +500,7 @@ def _solve_system(grid, n, m, w_splat, b, lam, a_diag_min, cg_maxiter,
 
     a_diag = lam * (m - 2.0 * DIM * n * n) + w_splat
     a_diag = jnp.maximum(a_diag, a_diag_min)
-    return _pcg(a_fn, b, y0, a_diag, cg_maxiter, cg_tol)
+    return _pcg(a_fn, b, y0, a_diag, cg_maxiter, cg_tol, miter)
 
 
 class BSParams(NamedTuple):
@@ -517,11 +524,13 @@ MODE_PARAMS = {
 }
 
 
-def _solve_image(grid, target, conf, params: BSParams, nm=None):
+def _solve_image(grid, target, conf, params: BSParams, nm=None, miter=None):
     """Forward solve for one image (BilateralGrid.py:122-150).
 
     target [N, C], conf [N, 1]. Returns (xhat [N, C], yhat [V, C]).
-    ``nm``: optionally the precomputed ``bistochastize(grid)`` pair."""
+    ``nm``: optionally the precomputed ``bistochastize(grid)`` pair.
+    ``params`` fields may be traced scalars except cg_maxiter (the
+    static loop bound); ``miter``: see :func:`_pcg`."""
     n, m = bistochastize(grid) if nm is None else nm
     # one fused splat for conf AND target*conf (the scatter runs on the
     # scalar core; one pass over the pixels instead of two)
@@ -530,12 +539,13 @@ def _solve_image(grid, target, conf, params: BSParams, nm=None):
     y0 = b / jnp.maximum(w_splat[:, None], 1e-10)
     yhat = _solve_system(
         grid, n, m, w_splat, b, params.lam, params.a_diag_min,
-        params.cg_maxiter, params.cg_tol, y0,
+        params.cg_maxiter, params.cg_tol, y0, miter,
     )
     return slice_(grid, yhat), yhat
 
 
-def _solve_image_grad(grid, nm, g_out, conf, target, yhat, params: BSParams):
+def _solve_image_grad(grid, nm, g_out, conf, target, yhat, params: BSParams,
+                      miter=None):
     """Gradient solve for one image (BilateralGrid.py:152-184).
 
     ``nm``: the (n, m) bistochastization pair cached by the forward —
@@ -551,7 +561,7 @@ def _solve_image_grad(grid, nm, g_out, conf, target, yhat, params: BSParams):
     y0 = b / jnp.maximum(cnt[:, None], 1e-10)
     yg = _solve_system(
         grid, n, m, w_splat, b, params.lam, params.a_diag_min,
-        params.cg_maxiter, params.cg_tol, y0,
+        params.cg_maxiter, params.cg_tol, y0, miter,
     )
 
     sliced = slice_(grid, yg)
@@ -657,6 +667,156 @@ def _bs_bwd(params, v_max, e_max, res, g):
 
 
 _bilateral_solve_core.defvjp(_bs_fwd, _bs_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Multi-mode batched solve
+#
+# The bilateral TRAIN step runs THREE independent solves off the same guide
+# (albedo / rough / depth, different sigmas and lambdas).  Run sequentially,
+# each pays its own bistochastize/PCG whiles, join sort, scans, and
+# compaction scatter.  Batching all K*B problems along one leading axis
+# shares those launches: grids are built per mode (sigmas are static pack
+# widths) and STACKED, targets pad to the widest channel count (payload
+# width is ~free), and the per-mode lambda / tolerance / iteration count
+# ride as traced per-problem scalars — iterations beyond a mode's own
+# cg_maxiter are masked in _pcg, so the iterates are exactly the per-mode
+# reference sequences.
+# ---------------------------------------------------------------------------
+
+
+def _stack_mode_grids(guide, params_seq, v_max, e_max):
+    """Per-mode vmapped grid builds concatenated along the problem axis
+    (mode-major: [mode0 images..., mode1 images..., ...])."""
+    grids = [
+        jax.vmap(lambda f, p=p: _grid_of(f, p, v_max, e_max))(guide)
+        for p in params_seq
+    ]
+    return jax.tree_util.tree_map(
+        lambda *xs: jnp.concatenate(xs, axis=0), *grids
+    )
+
+
+def _multi_scalars(params_seq, batch, max_steps):
+    def arr(get, dtype):
+        return jnp.concatenate(
+            [jnp.full((batch,), get(p), dtype) for p in params_seq]
+        )
+
+    return (
+        arr(lambda p: p.lam, jnp.float32),
+        arr(lambda p: p.a_diag_min, jnp.float32),
+        arr(lambda p: p.cg_tol, jnp.float32),
+        arr(lambda p: min(p.cg_maxiter, max_steps), jnp.int32),
+    )
+
+
+def _bs_multi_fwd_impl(guide, targets, confs, params_seq, v_max, e_max):
+    b, h, w, _ = guide.shape
+    cmax = max(t.shape[-1] for t in targets)
+    max_steps = max(p.cg_maxiter for p in params_seq)
+    grid = _stack_mode_grids(guide, params_seq, v_max, e_max)
+    tgt = jnp.concatenate(
+        [
+            jnp.pad(t, ((0, 0),) * 3 + ((0, cmax - t.shape[-1]),))
+            for t in targets
+        ],
+        axis=0,
+    )
+    cf = jnp.concatenate(confs, axis=0)
+    lam, admin, tol, miter = _multi_scalars(params_seq, b, max_steps)
+
+    def one(grid_i, tgt_i, conf_i, lam_i, admin_i, tol_i, miter_i):
+        nm = bistochastize(grid_i)
+        pp = BSParams(0.0, 0.0, 0.0, lam_i, admin_i, tol_i, max_steps)
+        xhat, yhat = _solve_image(
+            grid_i, tgt_i.reshape(-1, cmax), conf_i.reshape(-1, 1), pp,
+            nm=nm, miter=miter_i,
+        )
+        return xhat.reshape(h, w, cmax), yhat, nm
+
+    xhat, yhat, nm = jax.vmap(one)(grid, tgt, cf, lam, admin, tol, miter)
+    outs = tuple(
+        xhat[i * b:(i + 1) * b, ..., : t.shape[-1]]
+        for i, t in enumerate(targets)
+    )
+    st = _stats_of(grid)
+    stats = tuple(
+        {k: v[i * b:(i + 1) * b] for k, v in st.items()}
+        for i in range(len(targets))
+    )
+    return outs, stats, (grid, nm, yhat, tgt, cf)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _bilateral_solve_multi_core(guide, targets, confs, params_seq,
+                                v_max, e_max):
+    outs, stats, _ = _bs_multi_fwd_impl(
+        guide, targets, confs, params_seq, v_max, e_max
+    )
+    return outs, stats
+
+
+def _bs_multi_fwd(guide, targets, confs, params_seq, v_max, e_max):
+    outs, stats, res = _bs_multi_fwd_impl(
+        guide, targets, confs, params_seq, v_max, e_max
+    )
+    return (outs, stats), (guide, res)
+
+
+def _bs_multi_bwd(params_seq, v_max, e_max, residuals, g):
+    guide, (grid, nm, yhat, tgt, cf) = residuals
+    g_outs = g[0]  # g[1]: int stats cotangent (symbolic zero)
+    b, h, w = guide.shape[0], tgt.shape[1], tgt.shape[2]
+    cmax = tgt.shape[-1]
+    max_steps = max(p.cg_maxiter for p in params_seq)
+    g_all = jnp.concatenate(
+        [
+            jnp.pad(go, ((0, 0),) * 3 + ((0, cmax - go.shape[-1]),))
+            for go in g_outs
+        ],
+        axis=0,
+    )
+    lam, admin, tol, miter = _multi_scalars(params_seq, b, max_steps)
+
+    def one(grid_i, nm_i, g_i, conf_i, tgt_i, yhat_i, lam_i, admin_i,
+            tol_i, miter_i):
+        pp = BSParams(0.0, 0.0, 0.0, lam_i, admin_i, tol_i, max_steps)
+        gt, gc = _solve_image_grad(
+            grid_i, nm_i, g_i.reshape(-1, cmax), conf_i.reshape(-1, 1),
+            tgt_i.reshape(-1, cmax), yhat_i, pp, miter=miter_i,
+        )
+        return gt.reshape(h, w, cmax), gc.reshape(h, w, 1)
+
+    gt, gc = jax.vmap(one)(grid, nm, g_all, cf, tgt, yhat, lam, admin,
+                           tol, miter)
+    g_targets = tuple(
+        gt[i * b:(i + 1) * b, ..., : go.shape[-1]]
+        for i, go in enumerate(g_outs)
+    )
+    g_confs = tuple(gc[i * b:(i + 1) * b] for i in range(len(g_outs)))
+    return (jnp.zeros_like(guide), g_targets, g_confs)
+
+
+_bilateral_solve_multi_core.defvjp(_bs_multi_fwd, _bs_multi_bwd)
+
+
+def bilateral_solve_multi(guide, targets, confs, params_seq, v_max: int,
+                          e_max: int = None):
+    """Batched multi-mode bilateral solve off one guide.
+
+    guide [B,H,W,3]; targets/confs: sequences of [B,H,W,Ck] / [B,H,W,1]
+    aligned with ``params_seq`` (a tuple of BSParams).  Returns
+    (list of refined [B,H,W,Ck], list of per-mode stats dicts) — the
+    same numerics as K separate :func:`bilateral_solve_stats` calls
+    (per-mode lambda/tolerance/iteration count are honored exactly via
+    masked shared loops), with all K*B problems sharing each sort /
+    scan / scatter / while launch."""
+    outs, stats = _bilateral_solve_multi_core(
+        guide, tuple(targets), tuple(confs), tuple(params_seq), v_max,
+        e_max,
+    )
+    return list(outs), list(stats)
 
 
 # ---------------------------------------------------------------------------

@@ -95,6 +95,13 @@ def refine(
     guide = normalized_guide(preds["albedo"])
     modules = nets.nets
 
+    # THREE sequential solves, deliberately: the batched alternative
+    # (ops/bilateral.py bilateral_solve_multi — all 3*B problems sharing
+    # each sort/scan/while launch) was built, parity-tested, and
+    # A/B-measured SLOWER on-chip (414 vs 236 ms/step at the reference
+    # operating point: the [3B, E] batched edge gathers inside the PCG
+    # whiles lower far worse than per-mode flat ones).  It ships as a
+    # tested ablation; see BASELINE.md.
     conf_a = modules["albedo"].apply(params["albedo"], im, preds["albedo"])
     albedo_bs, st_a = bilateral_solve_stats(
         guide, preds["albedo"], conf_a, MODE_PARAMS[0], v_max, e_max

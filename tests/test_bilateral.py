@@ -237,6 +237,67 @@ def test_edge_mode_matches_dense():
                                rtol=2e-4, atol=2e-5)
 
 
+def test_multi_solve_matches_sequential():
+    """bilateral_solve_multi (all modes batched along one problem axis)
+    must reproduce the sequential per-mode solves: bit-identical to a
+    channel-padded sequential solve, within f32 reduction-order noise of
+    the plain one.  (A/B-measured SLOWER on the chip — kept as a tested
+    ablation; pipeline/bilateral.py runs sequential solves.)"""
+    rng = np.random.RandomState(5)
+    yy, xx = np.mgrid[0:H, 0:W]
+    base = np.stack([xx / W, yy / H, 0.5 + 0.3 * np.sin(xx / 4.0)], -1)
+    guide = jnp.asarray(
+        np.clip(np.stack([base, base[:, ::-1]])
+                + rng.randn(2, H, W, 3) * 0.02, 0, 1),
+        jnp.float32,
+    )
+    ps = tuple(bl.MODE_PARAMS[m] for m in (0, 2, 4))
+    ts = tuple(
+        jnp.asarray(rng.rand(2, H, W, c), jnp.float32) for c in (3, 1, 1)
+    )
+    cs = tuple(
+        jnp.asarray(rng.rand(2, H, W, 1) * 0.9 + 0.1, jnp.float32)
+        for _ in range(3)
+    )
+    E = 8 * N
+
+    def multi_loss(ts, cs):
+        outs, stats = bl.bilateral_solve_multi(guide, ts, cs, ps, N, E)
+        return sum(jnp.sum(jnp.sin(o)) for o in outs), (outs, stats)
+
+    (_, (om, st)), gm = jax.value_and_grad(
+        multi_loss, argnums=(0, 1), has_aux=True
+    )(ts, cs)
+
+    for i, (p, t, c) in enumerate(zip(ps, ts, cs)):
+        pad = jnp.pad(t, ((0, 0),) * 3 + ((0, 3 - t.shape[-1]),))
+        out_pad, st_seq = bl.bilateral_solve_stats(guide, pad, c, p, N, E)
+        np.testing.assert_array_equal(
+            np.asarray(om[i]), np.asarray(out_pad[..., : t.shape[-1]]),
+            err_msg=f"mode {i}",
+        )
+        for k in st_seq:
+            np.testing.assert_array_equal(
+                np.asarray(st[i][k]), np.asarray(st_seq[k]),
+                err_msg=f"mode {i} {k}",
+            )
+        # the grad must be BIT-identical to the channel-padded
+        # sequential solve's (the only difference between multi and
+        # plain sequential is that padding's f32 reduction order, which
+        # CG amplifies — so compare exactly against the padded program)
+        gt = jax.grad(
+            lambda tt: jnp.sum(jnp.sin(
+                bl.bilateral_solve(guide, tt, c, p, N, E)[
+                    ..., : t.shape[-1]
+                ]
+            ))
+        )(pad)
+        np.testing.assert_array_equal(
+            np.asarray(gm[0][i]), np.asarray(gt[..., : t.shape[-1]]),
+            err_msg=f"mode {i} grad",
+        )
+
+
 def test_edge_bucket_ladder():
     assert bl.edge_bucket(0, 768) == 1024
     assert bl.edge_bucket(1025, 768) == 2048
