@@ -24,6 +24,11 @@ _HERE = osp.dirname(osp.abspath(__file__))
 _SRC = osp.join(_HERE, "rgbe_decode.c")
 _LIB_PATH = osp.join(_HERE, "_librgbe.so")
 
+# Must equal rgbe_abi_version() in rgbe_decode.c.  A cached .so from an
+# older source (e.g. after a failed rebuild) is refused on mismatch
+# rather than called through now-wrong argtypes.
+_ABI = 2
+
 _lock = threading.Lock()
 _lib = None
 _tried = False
@@ -54,9 +59,10 @@ def _load():
         _tried = True
         # The .so is a build artifact (never checked in — git would not
         # preserve the mtimes this staleness check relies on).  Rebuild
-        # when missing or older than the source; a failed rebuild still
-        # falls back to an existing binary rather than dropping to the
-        # ~10x slower cv2 path.
+        # when missing or older than the source; if the rebuild fails an
+        # existing binary is still tried, but only accepted when its
+        # embedded ABI version matches (below) — a stale binary with a
+        # different exported surface is refused, not mis-called.
         stale = not osp.isfile(_LIB_PATH) or (
             osp.getmtime(_LIB_PATH) <= osp.getmtime(_SRC)
         )
@@ -66,6 +72,19 @@ def _load():
             lib = ctypes.CDLL(_LIB_PATH)
         except OSError:
             return None
+        try:
+            abi = lib.rgbe_abi_version
+        except AttributeError:
+            return None  # pre-versioning binary: signatures unknown
+        abi.restype = ctypes.c_long
+        abi.argtypes = []
+        if abi() != _ABI:
+            return None
+        lib.rgbe_dims.restype = ctypes.c_int
+        lib.rgbe_dims.argtypes = [
+            ctypes.c_char_p, ctypes.c_long,
+            ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_long),
+        ]
         lib.rgbe_decode_pooled.restype = ctypes.c_int
         lib.rgbe_decode_pooled.argtypes = [
             ctypes.c_char_p, ctypes.c_long, ctypes.POINTER(ctypes.c_float),
@@ -109,21 +128,24 @@ def decode_rgbe_pooled(path: str, rows: int, cols: int, eh0: int, ew0: int,
 
 def decode_rgbe(path: str) -> np.ndarray:
     """Full-resolution decode -> [H, W, 3] float32, BGR channel order
-    (cv2.imread parity: byte * 2^(E-136), 0 when E == 0)."""
+    (cv2.imread parity: byte * 2^(E-136), 0 when E == 0).
+
+    Raises ValueError on malformed files — callers that must never fail
+    should catch it and fall back to cv2.imread, the same contract as
+    decode_rgbe_pooled's call site (data/openrooms.py)."""
     lib = _load()
     assert lib is not None, "native decoder unavailable"
     with open(path, "rb") as f:
         buf = f.read()
-    # header gives the size; parse it in Python (tiny) to allocate
-    head = buf[:2048]
-    nl = head.find(b"\n\n")
-    if nl < 0:
+    # size the output via the C parser (same header handling as the
+    # decoders: arbitrary header length, -Y/+X resolution line)
+    h_c, w_c = ctypes.c_long(), ctypes.c_long()
+    if lib.rgbe_dims(buf, len(buf), ctypes.byref(h_c),
+                     ctypes.byref(w_c)) != 0:
         raise ValueError(f"bad RGBE header in {path}")
-    res_end = head.find(b"\n", nl + 2)
-    parts = head[nl + 2:res_end].split()
-    if len(parts) != 4 or parts[0] != b"-Y" or parts[2] != b"+X":
-        raise ValueError(f"unsupported RGBE orientation in {path}")
-    h, w = int(parts[1]), int(parts[3])
+    h, w = h_c.value, w_c.value
+    if h <= 0 or w <= 0 or h * w > (1 << 30):
+        raise ValueError(f"implausible RGBE dims {h}x{w} in {path}")
     out = np.empty((h, w, 3), np.float32)
     rc = lib.rgbe_decode(
         buf, len(buf), out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),

@@ -282,3 +282,17 @@ fail:
     free(planes);
     return -6;
 }
+
+/* ABI version of the exported surface.  Bumped whenever any exported
+ * signature changes; hdr.py refuses to load a binary whose version
+ * differs (a stale cached .so left behind by a failed rebuild would
+ * otherwise be called through mismatched ctypes argtypes). */
+long rgbe_abi_version(void) { return 2; }
+
+/* Header-only parse: fills h/w, returns 0 on success.  Exported so the
+ * Python full-resolution helper (hdr.decode_rgbe) sizes its output with
+ * the SAME parser the decoders use - no fixed-size header cap or exact
+ * "\n\n" search on the Python side. */
+int rgbe_dims(const uint8_t *buf, long n, long *h, long *w) {
+    return parse_header(buf, n, h, w) < 0 ? -2 : 0;
+}

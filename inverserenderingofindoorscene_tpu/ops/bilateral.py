@@ -948,42 +948,48 @@ class BucketedSolver:
         back; per-call dispatch overhead on remote backends (~5 ms on
         the axon tunnel) and the lost overlap make three calls
         needlessly slow.  Buckets follow the same per-(params, v_cap)
-        observed-count policy as :meth:`solve`; an overflow re-runs the
-        whole combined call (rare, and every returned result is exact).
-        Returns a list of refined arrays in ``params_seq`` order."""
+        observed-count policy as :meth:`solve`; an overflowed mode is
+        re-solved ALONE through the per-mode cache (the other modes'
+        results stand — the combined program is never recompiled or
+        re-executed for one mode's bump; ADVICE r3).  Every returned
+        result is exact.  Returns refined arrays in ``params_seq``
+        order."""
         n_pixels = guide.shape[1] * guide.shape[2]
         vcaps = [
             bucket_capacity(nv, n_pixels, self.ladder) for nv in nverts
         ]
-        if not self.use_edges:
+        if self.use_edges:
+            ecaps = [
+                self._ecap.get((p, vc), edge_bucket(2 * nv, vc))
+                for p, vc, nv in zip(params_seq, vcaps, nverts)
+            ]
+        else:
             ecaps = [None] * len(vcaps)
-        while True:
-            if self.use_edges:
-                ecaps = [
-                    self._ecap.get((p, vc), edge_bucket(2 * nv, vc))
-                    for p, vc, nv in zip(params_seq, vcaps, nverts)
-                ]
-            key = tuple(zip(params_seq, vcaps, ecaps))
-            if key not in self._solve:
-                def f(g, ts, cs, key=key):
-                    return tuple(
-                        bilateral_solve_stats(g, t, c, p, vc, ec)
-                        for t, c, (p, vc, ec) in zip(ts, cs, key)
-                    )
+        key = tuple(zip(params_seq, vcaps, ecaps))
+        if key not in self._solve:
+            def f(g, ts, cs, key=key):
+                return tuple(
+                    bilateral_solve_stats(g, t, c, p, vc, ec)
+                    for t, c, (p, vc, ec) in zip(ts, cs, key)
+                )
 
-                self._solve[key] = jax.jit(f)
-            pairs = self._solve[key](guide, tuple(targets), tuple(confs))
-            if not self.use_edges:
-                return [out for out, _ in pairs]
-            ok = True
-            for (p, vc, ec), (_, st) in zip(key, pairs):
-                nedges = int(np.asarray(st["nedges"]).max())
-                seen = max(self._seen.get((p, vc), 0), nedges)
-                self._seen[(p, vc)] = seen
-                self._ecap[(p, vc)] = edge_bucket(seen, vc)
-                ok = ok and nedges <= ec
-            if ok:
-                return [out for out, _ in pairs]
+            self._solve[key] = jax.jit(f)
+        pairs = self._solve[key](guide, tuple(targets), tuple(confs))
+        outs = [out for out, _ in pairs]
+        if not self.use_edges:
+            return outs
+        for i, ((p, vc, ec), (_, st)) in enumerate(zip(key, pairs)):
+            nedges = int(np.asarray(st["nedges"]).max())
+            seen = max(self._seen.get((p, vc), 0), nedges)
+            self._seen[(p, vc)] = seen
+            self._ecap[(p, vc)] = edge_bucket(seen, vc)
+            if nedges > ec:
+                # exact re-run of just this mode at the bumped bucket
+                # (solve() reads the freshly-bumped self._ecap entry)
+                outs[i] = self.solve(
+                    guide, targets[i], confs[i], p, nverts[i]
+                )
+        return outs
 
     def __call__(self, guide, target, conf, params: BSParams):
         (nvert,) = self.counts(guide, (params,))

@@ -359,3 +359,65 @@ def test_bilateral_train_step():
             float(metrics_e[k]), float(metrics[k]), rtol=1e-4
         )
     assert int(metrics_e["nedges_max"]) >= 0
+
+
+def test_solve_many_bumps_only_overflowed_mode():
+    """An edge-bucket overflow inside solve_many must re-solve ONLY the
+    overflowed mode (through the per-mode cache) — the combined program
+    is compiled once per bucket combination and never re-executed for a
+    single mode's bump — and every returned result must be exact vs an
+    ample-capacity reference solve (ADVICE r3)."""
+    rng = np.random.RandomState(11)
+    yy, xx = np.mgrid[0:H, 0:W]
+    base = np.stack([xx / W, yy / H, 0.5 + 0.3 * np.sin(xx / 4.0)], -1)
+    guide = jnp.asarray(
+        np.clip(base[None] + rng.randn(1, H, W, 3) * 0.02, 0, 1),
+        jnp.float32,
+    )
+    ps = tuple(bl.MODE_PARAMS[m] for m in (0, 2, 4))
+    ts = tuple(
+        jnp.asarray(rng.rand(1, H, W, c), jnp.float32) for c in (3, 1, 1)
+    )
+    cs = tuple(
+        jnp.asarray(rng.rand(1, H, W, 1) * 0.9 + 0.1, jnp.float32)
+        for _ in range(3)
+    )
+    solver = bl.BucketedSolver()
+    nverts = solver.counts(guide, ps)
+    n_pixels = H * W
+    vcaps = [bl.bucket_capacity(nv, n_pixels) for nv in nverts]
+    # seed mode 1 with a deliberately-overflowing tiny edge bucket
+    solver._ecap[(ps[1], vcaps[1])] = bl.edge_bucket(1, vcaps[1],
+                                                     min_cap=16)
+    outs = solver.solve_many(guide, ts, cs, ps, nverts)
+
+    def n_combined():
+        # combined keys are tuples of (params, vcap, ecap) triples;
+        # per-mode keys are flat (BSParams, vcap, ecap) triples
+        return sum(
+            1 for k in solver._solve if isinstance(k[0], tuple)
+            and not isinstance(k[0], bl.BSParams)
+        )
+
+    assert n_combined() == 1  # ONE combined program, despite the bump
+    # the bump went through the per-mode cache: at least one per-mode
+    # entry for mode 1's params exists
+    assert any(
+        isinstance(k[0], bl.BSParams) and k[0] == ps[1]
+        for k in solver._solve
+    )
+    for i, (p, t, c) in enumerate(zip(ps, ts, cs)):
+        ref = jax.jit(
+            lambda tt, cc, p=p: bl.bilateral_solve(guide, tt, cc, p, N,
+                                                   8 * N)
+        )(t, c)
+        np.testing.assert_allclose(
+            np.asarray(outs[i]), np.asarray(ref), rtol=2e-5, atol=2e-5,
+            err_msg=f"mode {i}",
+        )
+    # a second call at the now-tightened buckets adds ONE more combined
+    # program (new bucket combo) and does not grow further after that
+    solver.solve_many(guide, ts, cs, ps, nverts)
+    n2 = n_combined()
+    solver.solve_many(guide, ts, cs, ps, nverts)
+    assert n_combined() == n2 <= 2

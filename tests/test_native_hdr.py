@@ -79,3 +79,38 @@ def test_malformed_raises(tmp_path):
         f.write(b"not an hdr at all")
     with pytest.raises(ValueError):
         hdr.decode_rgbe(p)
+
+
+def test_abi_guard_refuses_mismatched_binary(monkeypatch):
+    """A cached .so whose embedded ABI version differs from hdr._ABI is
+    refused (native_available() False) instead of being called through
+    mismatched argtypes (ADVICE r3: stale-binary fallback hazard)."""
+    # force a fresh load attempt against a deliberately wrong expectation
+    monkeypatch.setattr(hdr, "_lib", None)
+    monkeypatch.setattr(hdr, "_tried", False)
+    monkeypatch.setattr(hdr, "_ABI", hdr._ABI + 1)
+    assert not hdr.native_available()
+    # and with the real version it loads again
+    monkeypatch.setattr(hdr, "_ABI", hdr._ABI - 1)
+    monkeypatch.setattr(hdr, "_lib", None)
+    monkeypatch.setattr(hdr, "_tried", False)
+    assert hdr.native_available()
+
+
+def test_long_header_decodes(tmp_path):
+    """Headers longer than 2 KiB parse fine (the old Python-side parser
+    had a hard 2048-byte cap; sizing now goes through the C parser)."""
+    cv2 = pytest.importorskip("cv2")
+    img = np.full((8, 16, 3), 0.5, np.float32)
+    p = _write_hdr(tmp_path, img)
+    with open(p, "rb") as f:
+        buf = f.read()
+    nl = buf.index(b"\n") + 1
+    pad = b"".join(b"# comment line %d\n" % i for i in range(200))
+    assert len(pad) > 2048
+    p2 = str(tmp_path / "long.hdr")
+    with open(p2, "wb") as f:
+        f.write(buf[:nl] + pad + buf[nl:])
+    ref = cv2.imread(p2, -1)
+    got = hdr.decode_rgbe(p2)
+    np.testing.assert_array_equal(got, ref)

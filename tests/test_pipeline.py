@@ -172,6 +172,30 @@ def test_bf16_compute_matches_f32():
     assert abs(losses["bfloat16"] - losses["float32"]) / losses["float32"] < 0.02, losses
 
 
+def test_bf16_light_step_matches_f32():
+    """Light-step mixed-precision parity.  bf16 mode assembles AND
+    resizes the 11-ch light input in bf16 (light_input_from_preds's
+    pre-resize cast, a deliberate perf tradeoff documented in
+    BASELINE.md) — tolerance sized for that: bf16 has ~3 significant
+    digits, and the SG/loss heads stay f32."""
+    batch = tiny_batch()
+    losses = {}
+    for dt in ("float32", "bfloat16"):
+        brdf_nets = BRDFNets(cascade_level=0, compute_dtype=dt)
+        light_nets = LightNets(
+            cascade_level=0, env_rows=ENV_RC[0], env_cols=ENV_RC[1],
+            compute_dtype=dt,
+        )
+        bp = brdf_nets.init(jax.random.PRNGKey(0), IM_HW)
+        lp = light_nets.init(jax.random.PRNGKey(1), LIGHT_HW)
+        out, _ = jax.jit(
+            lambda bp, lp, b: light_step(brdf_nets, light_nets, bp, lp, b)
+        )(bp, lp, batch)
+        losses[dt] = float(10.0 * out["reconst"] + out["render"])
+    rel = abs(losses["bfloat16"] - losses["float32"]) / abs(losses["float32"])
+    assert rel < 0.05, losses
+
+
 def test_inverse_renderer_api(tmp_path):
     """Library-level single-call inference (pipeline.inference): one
     cascade with lighting + bilateral refinement from a photo on disk,
