@@ -36,14 +36,20 @@ def parse_args(argv=None):
     p.add_argument("--predRoot", required=True)
     p.add_argument("--gtRoot", required=True)
     p.add_argument("--level", type=int, default=1)
+    p.add_argument("--useBS", action="store_true",
+                   help="evaluate the bilateral-refined products "
+                        "(*_albedoBS/depthBS, the reference's own eval "
+                        "inputs: CompareWHDR.py:72 globs albedoBS1, "
+                        "CompareDepth.py:10 _depthBS1.npy)")
     return p.parse_args(argv)
 
 
 def run_whdr(opt):
     total = cnt = 0.0
+    stem = "albedoBS" if opt.useBS else "albedo"
     for pred in sorted(glob.glob(
-            osp.join(opt.predRoot, f"*_albedo{opt.level}.npy"))):
-        name = osp.basename(pred).replace(f"_albedo{opt.level}.npy", "")
+            osp.join(opt.predRoot, f"*_{stem}{opt.level}.npy"))):
+        name = osp.basename(pred).replace(f"_{stem}{opt.level}.npy", "")
         jpath = osp.join(opt.gtRoot, name + ".json")
         if not osp.isfile(jpath):
             continue
@@ -98,9 +104,10 @@ def run_depth(opt):
     import cv2
 
     total = cnt = 0.0
+    stem = "depthBS" if opt.useBS else "depth"
     for pred in sorted(glob.glob(
-            osp.join(opt.predRoot, f"*_depth{opt.level}.npy"))):
-        name = osp.basename(pred).replace(f"_depth{opt.level}.npy", "")
+            osp.join(opt.predRoot, f"*_{stem}{opt.level}.npy"))):
+        name = osp.basename(pred).replace(f"_{stem}{opt.level}.npy", "")
         gt_path = osp.join(opt.gtRoot, name + ".tiff")
         if not osp.isfile(gt_path):
             continue

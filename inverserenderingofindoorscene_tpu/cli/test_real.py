@@ -212,13 +212,14 @@ def main(argv=None):
 
     def _load(p):
         return load_real_image(
-            p, (opt.imHeight, opt.imWidth), (opt.envRow, opt.envCol)
+            p, (opt.imHeight, opt.imWidth), (opt.envRow, opt.envCol),
+            return_original=True,
         )
 
     pending = deque(pool.submit(_load, p) for p in im_list[:2])
     for idx, im_path in enumerate(im_list):
         name = osp.splitext(osp.basename(im_path))[0]
-        im_np, im_small_np, fov = pending.popleft().result()
+        im_np, im_small_np, fov, im_orig = pending.popleft().result()
         if idx + 2 < len(im_list):
             pending.append(pool.submit(_load, im_list[idx + 2]))
         result = renderer(
@@ -229,9 +230,33 @@ def main(argv=None):
         bs_out = result["refined"]
 
         # write products — PER LEVEL, like the reference
-        # (testReal.py:542-660 loops every product list over the levels)
+        # (testReal.py:542-660 loops every product list over the levels).
+        # PNG products are resized to the LAST level's fitted input size
+        # (nw, nh) exactly as testReal.py:318 reassigns nh/nw to
+        # newImHeight[-1]/newImWidth[-1] before the product loop; npys
+        # mirror the reference product-by-product: normal npy is saved
+        # RESIZED (testReal.py:565), depth npys at network resolution.
         def out(n):
             return osp.join(opt.output, n)
+
+        import cv2
+
+        nh, nw = im_np.shape[1:3]
+
+        def to_nwnh(arr):
+            """Resize a prediction to the final fitted size (identity
+            when the levels share one size, the CLI's single-im_hw case)."""
+            arr = np.asarray(arr, np.float32)
+            if arr.shape[:2] == (nh, nw):
+                return arr
+            return cv2.resize(arr, (nw, nh),
+                              interpolation=cv2.INTER_LINEAR)
+
+        # the unresized input photo, a product of its own
+        # (testReal.py:659-660 cv2.imwrite(imOutputNames[0], im_cpu))
+        from PIL import Image
+
+        Image.fromarray(im_orig).save(out(f"{name}.png"))
 
         # per-level cAlbedo/cLight: the global-scale disambiguation of the
         # level whose light ran (testReal.py:546-549 `n < len(cAlbedos)`);
@@ -248,26 +273,30 @@ def main(argv=None):
         for lvl, preds in enumerate(all_preds):
             c_albedo = scales[lvl][0] if lvl < len(scales) else 1.0
             albedo_out = np.asarray(preds["albedo"][0]) * c_albedo
+            # albedo npy is a superset product (the reference allocates
+            # albedoNames but never np.saves them); PNG applies gamma
+            # BEFORE the resize like testReal.py:551-553
             np.save(out(f"{name}_albedo{lvl}.npy"), albedo_out)
-            np.save(out(f"{name}_normal{lvl}.npy"),
-                    np.asarray(preds["normal"][0]))
-            np.save(out(f"{name}_rough{lvl}.npy"),
-                    np.asarray(preds["rough"][0]))
-            np.save(out(f"{name}_depth{lvl}.npy"),
-                    np.asarray(preds["depth"][0]))
             write_image(
-                albedo_out, out(f"{name}_albedo{lvl}.png"), gamma=True,
+                to_nwnh(np.clip(albedo_out, 0, None) ** (1.0 / 2.2)),
+                out(f"{name}_albedo{lvl}.png"),
             )
-            write_image(
-                np.asarray(0.5 * (preds["normal"][0] + 1.0)),
-                out(f"{name}_normal{lvl}.png"),
-            )
-            write_image(
-                np.asarray(0.5 * (preds["rough"][0] + 1.0)),
-                out(f"{name}_rough{lvl}.png"),
-            )
+            # the normal npy is saved RESIZED (testReal.py:562-565; the
+            # resized vectors are NOT re-normalized there either)
+            normal_r = to_nwnh(np.asarray(preds["normal"][0]))
+            np.save(out(f"{name}_normal{lvl}.npy"), normal_r)
+            write_image(0.5 * (normal_r + 1.0),
+                        out(f"{name}_normal{lvl}.png"))
+            rough = np.asarray(preds["rough"][0])
+            np.save(out(f"{name}_rough{lvl}.npy"), rough)  # superset
+            write_image(0.5 * (to_nwnh(rough) + 1.0),
+                        out(f"{name}_rough{lvl}.png"))
             d = np.asarray(preds["depth"][0])
-            write_image(1 / np.clip(d, 0.1, None) * 0.3,
+            np.save(out(f"{name}_depth{lvl}.npy"), d)
+            # depth PNG: mean-normalize to 3, resize, 1/(d+1) viz
+            # (testReal.py:578-588)
+            dn = to_nwnh(d / max(float(d.mean()), 1e-10) * 3.0)
+            write_image(1.0 / np.clip(dn + 1.0, 1e-6, 10.0),
                         out(f"{name}_depth{lvl}.png"))
 
         # light products are written only with --isLight (reference
@@ -275,24 +304,44 @@ def main(argv=None):
         # feed the cascade-1 input and is not a product
         for lvl, light_out in enumerate(lights if opt.isLight else []):
             c_albedo, c_light = scales[lvl]
+            env_img = np.asarray(light_out["env_img"][0])
+            er, ec = env_img.shape[:2]
+            # npz: the reference's key/layout — 'env' of shape
+            # [R, C, eh, ew, 3] with channels flipped to the dataset's
+            # BGR order (testReal.py:629-634 "Flip to be coincide with
+            # our dataset")
             np.savez_compressed(
-                out(f"{name}_env{lvl}.npz"),
-                data=np.asarray(light_out["env_img"][0]),
+                out(f"{name}_envmap{lvl}.npz"),
+                env=np.ascontiguousarray(
+                    env_img.reshape(er, ec, opt.envHeight, opt.envWidth,
+                                    3)[..., ::-1]
+                ),
             )
-            np.save(out(f"{name}_sg{lvl}.npy"),
-                    np.asarray(light_out["sg_flat"][0]))
+            # SG params npy: the reference's name and CHW layout
+            # ([1, SGNum*7, R, C], testReal.py:636-638 envmapsPredSGNames)
+            np.save(
+                out(f"{name}_envmapSG{lvl}.npy"),
+                np.asarray(light_out["sg_flat"][0]).transpose(2, 0, 1)[
+                    None
+                ],
+            )
             write_envmap_mosaic(
-                np.asarray(light_out["env_img"][0]),
+                env_img,
                 out(f"{name}_envmap{lvl}.png"),
+                nrows=24, ncols=16,  # testReal.py:634 writeEnvToFile
                 env_height=opt.envHeight, env_width=opt.envWidth,
             )
+            # rendered PNG: max-normalize, gamma BEFORE resize
+            # (testReal.py:648-654)
             rendered = np.asarray(
                 (light_out["diffuse"] + light_out["specular"])[0]
             )
-            write_image(rendered, out(f"{name}_rendered{lvl}.png"),
-                        gamma=True)
-            # SG -> diffuse shading visualization (testReal.py:656-660 via
-            # utils.predToShading)
+            rp = (rendered / max(float(rendered.max()), 1e-10)) ** (
+                1.0 / 2.2
+            )
+            write_image(to_nwnh(rp), out(f"{name}_rendered{lvl}.png"))
+            # SG -> diffuse shading visualization, mean-normalized to
+            # 1/3 (testReal.py:639-644 via utils.predToShading)
             from inverserenderingofindoorscene_tpu.utils.io import (
                 pred_to_shading,
             )
@@ -300,8 +349,9 @@ def main(argv=None):
             shading = pred_to_shading(
                 np.asarray(light_out["sg_flat"][0]), sg_num=opt.SGNum
             )
+            shading = shading / max(float(shading.mean()), 1e-10) / 3.0
             write_image(
-                np.clip(shading / max(shading.max(), 1e-10), 0, 1),
+                np.clip(shading, 0, 1),
                 out(f"{name}_shading{lvl}.png"), gamma=True,
             )
             np.save(
@@ -324,18 +374,27 @@ def main(argv=None):
                 print("scipy unavailable; skipped .mat cLight export")
 
         if bs_out is not None:
+            # 'BS' capitalization = the reference's runtime names (its
+            # write loop builds them via .replace('albedo', 'albedoBS'),
+            # testReal.py:592-625 — the names downstream CompareWHDR.py:72
+            # / CompareDepth.py:10 glob for)
             for lvl, bso in enumerate(bs_out):
                 c_albedo = scales[lvl][0] if lvl < len(scales) else 1.0
-                np.save(out(f"{name}_albedoBs{lvl}.npy"),
-                        np.asarray(bso["albedo"][0]) * c_albedo)
-                write_image(np.asarray(bso["albedo"][0]) * c_albedo,
-                            out(f"{name}_albedoBs{lvl}.png"), gamma=True)
-                np.save(out(f"{name}_roughBs{lvl}.npy"),
-                        np.asarray(bso["rough"][0]))
-                write_image(np.asarray(0.5 * (bso["rough"][0] + 1)),
-                            out(f"{name}_roughBs{lvl}.png"))
-                np.save(out(f"{name}_depthBs{lvl}.npy"),
-                        np.asarray(bso["depth"][0]))
+                albedo_bs = np.asarray(bso["albedo"][0]) * c_albedo
+                np.save(out(f"{name}_albedoBS{lvl}.npy"), albedo_bs)
+                write_image(
+                    to_nwnh(np.clip(albedo_bs, 0, None) ** (1.0 / 2.2)),
+                    out(f"{name}_albedoBS{lvl}.png"),
+                )
+                rough_bs = np.asarray(bso["rough"][0])
+                np.save(out(f"{name}_roughBS{lvl}.npy"), rough_bs)
+                write_image(0.5 * (to_nwnh(rough_bs) + 1.0),
+                            out(f"{name}_roughBS{lvl}.png"))
+                d_bs = np.asarray(bso["depth"][0])
+                np.save(out(f"{name}_depthBS{lvl}.npy"), d_bs)
+                dn = to_nwnh(d_bs / max(float(d_bs.mean()), 1e-10) * 3.0)
+                write_image(1.0 / np.clip(dn + 1.0, 1e-6, 10.0),
+                            out(f"{name}_depthBS{lvl}.png"))
         print(f"done {im_path} -> {opt.output}/{name}_*")
     pool.shutdown()
 

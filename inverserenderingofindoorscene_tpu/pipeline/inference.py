@@ -33,10 +33,12 @@ from inverserenderingofindoorscene_tpu.pipeline.light import (
 )
 
 
-def load_real_image(path, im_hw, env_rc):
+def load_real_image(path, im_hw, env_rc, return_original=False):
     """Aspect-preserving resize + fov selection (testReal.py:290-343).
 
-    Returns (im [1,h,w,3] linear, im_small [1,eh,ew,3], fov_deg)."""
+    Returns (im [1,h,w,3] linear, im_small [1,eh,ew,3], fov_deg); with
+    ``return_original`` also the unresized uint8 RGB photo (the
+    reference writes it back out as a product, testReal.py:659-660)."""
     import cv2
 
     im_cpu = cv2.imread(path)
@@ -62,6 +64,8 @@ def load_real_image(path, im_hw, env_rc):
     im = fit(*im_hw)
     im_small = fit(*env_rc)
     fov = 57.0 if nh < nw else 42.75
+    if return_original:
+        return im, im_small, fov, im_cpu
     return im, im_small, fov
 
 

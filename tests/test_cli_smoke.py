@@ -343,13 +343,28 @@ def test_test_real_cli(dataset, tmp_path):
     ])
     files = os.listdir(outdir)
     # per-level products for BOTH cascade levels (testReal.py:542-660
-    # loops every product list over the levels, incl. per-level BS)
+    # loops every product list over the levels, incl. per-level BS);
+    # BS products carry the reference's runtime 'BS' capitalization
+    # (the names CompareWHDR.py:72/CompareDepth.py:10 glob for) and the
+    # SG params use the reference's envmapSG name
     for lvl in (0, 1):
         for prod in (f"albedo{lvl}.npy", f"envmap{lvl}.png",
-                     f"albedoBs{lvl}.png", f"albedoBs{lvl}.npy",
-                     f"roughBs{lvl}.png", f"depthBs{lvl}.npy",
+                     f"envmap{lvl}.npz", f"envmapSG{lvl}.npy",
+                     f"albedoBS{lvl}.png", f"albedoBS{lvl}.npy",
+                     f"roughBS{lvl}.png", f"depthBS{lvl}.npy",
                      f"cLight{lvl}.npy"):
             assert any(prod in f for f in files), (prod, files)
+    # the input photo itself is a product (testReal.py:659-660), at its
+    # ORIGINAL unresized resolution
+    assert osp.isfile(osp.join(outdir, "real.png"))
+    im_prod = cv2.imread(osp.join(outdir, "real.png"))
+    assert im_prod.shape[:2] == (64, 64)
+    # SG npy in the reference's CHW layout [1, SGNum*7, R, C]
+    sg = np.load(outdir / "real_envmapSG1.npy")
+    assert sg.shape == (1, 84, ENV_RC[0], ENV_RC[1]), sg.shape
+    # npz: reference key/layout [R, C, eh, ew, 3]
+    env = np.load(outdir / "real_envmap1.npz")["env"]
+    assert env.shape == (ENV_RC[0], ENV_RC[1], 8, 16, 3), env.shape
 
     # the fused-kernel inference branch (interpret-mode on CPU): same
     # run configuration, envmaps numerically matching the jnp path.
@@ -362,8 +377,8 @@ def test_test_real_cli(dataset, tmp_path):
         "--imHeight", str(IM_HW[0]), "--imWidth", str(IM_HW[1]),
         "--envRow", str(ENV_RC[0]), "--envCol", str(ENV_RC[1]),
     ])
-    env_jnp = np.load(outdir / "real_env1.npz")["data"]
-    env_pal = np.load(outdir2 / "real_env1.npz")["data"]
+    env_jnp = np.load(outdir / "real_envmap1.npz")["env"]
+    env_pal = np.load(outdir2 / "real_envmap1.npz")["env"]
     assert env_pal.shape == env_jnp.shape
     np.testing.assert_allclose(
         env_pal / env_pal.mean(), env_jnp / env_jnp.mean(), atol=1e-3
@@ -381,3 +396,38 @@ def test_test_real_cli(dataset, tmp_path):
     alb_staged = np.load(outdir / "real_albedo1.npy")
     alb_fused = np.load(outdir3 / "real_albedo1.npy")
     np.testing.assert_allclose(alb_fused, alb_staged, rtol=1e-3, atol=1e-5)
+
+
+def test_test_real_native_resolution_products(tmp_path):
+    """Product-shape parity with testReal.py:543-660: PNG/normal-npy
+    products come out at the photo's aspect-FITTED network size (nw, nh)
+    — not a fixed im_hw — depth npys stay at network resolution, and the
+    input photo is re-written at its ORIGINAL resolution."""
+    cv2 = pytest.importorskip("cv2")
+    from inverserenderingofindoorscene_tpu.cli import test_real
+
+    rng = np.random.RandomState(2)
+    png = tmp_path / "wide.png"
+    # landscape 80x128 photo; im_hw (64,64) -> fitted (40, 64)
+    cv2.imwrite(str(png), (rng.rand(80, 128, 3) * 255).astype(np.uint8))
+    im_list = tmp_path / "list.txt"
+    im_list.write_text(str(png) + "\n")
+    outdir = tmp_path / "out"
+    # BRDF-only level-1 run: aspect handling without the light encoder's
+    # minimum-grid constraint
+    test_real.main([
+        "--imList", str(im_list), "--output", str(outdir),
+        "--level", "1",
+        "--imHeight", str(IM_HW[0]), "--imWidth", str(IM_HW[1]),
+        "--envRow", str(ENV_RC[0]), "--envCol", str(ENV_RC[1]),
+    ])
+    fitted = (40, 64)
+    for prod in ("albedo0", "normal0", "rough0", "depth0"):
+        im = cv2.imread(str(outdir / f"wide_{prod}.png"))
+        assert im is not None and im.shape[:2] == fitted, (prod, im.shape)
+    # normal npy: saved RESIZED (testReal.py:565); depth npy: network res
+    assert np.load(outdir / "wide_normal0.npy").shape[:2] == fitted
+    assert np.load(outdir / "wide_depth0.npy").shape[:2] == fitted
+    # the re-written input photo keeps its original resolution
+    orig = cv2.imread(str(outdir / "wide.png"))
+    assert orig.shape[:2] == (80, 128)

@@ -214,3 +214,84 @@ def test_cascade1_finetune_synthesize_pre():
     })
     _, eq_l, dk_l = jax.jit(lambda p, b: iiw_step(nets1, p, b))(p1, full)
     assert np.isfinite(float(eq_l)) and np.isfinite(float(dk_l))
+
+
+def test_compare_cli_end_to_end(tmp_path):
+    """The eval CLI (cli/compare.py — the CompareWHDR/Normal/Depth
+    driver equivalent) over on-disk products + GT: its numbers must
+    equal eval/metrics.py on the same arrays, for the raw AND the
+    --useBS (reference eval-input, CompareWHDR.py:72) product names."""
+    cv2 = pytest.importorskip("cv2")
+    import json
+
+    from inverserenderingofindoorscene_tpu.cli import compare
+
+    rng = np.random.RandomState(0)
+    pred_root = tmp_path / "pred"
+    gt_root = tmp_path / "gt"
+    pred_root.mkdir()
+    gt_root.mkdir()
+
+    # --- WHDR: two images, one with no judgement file (skipped) ---
+    refl = np.ones((10, 10, 3), np.float32)
+    refl[:5] = 0.2
+    np.save(pred_root / "a_albedo1.npy", refl)
+    np.save(pred_root / "a_albedoBS1.npy", refl[::-1])  # distinct BS product
+    np.save(pred_root / "skipme_albedo1.npy", refl)     # no GT json
+    judgements = {
+        "intrinsic_points": [
+            {"id": 1, "x": 0.1, "y": 0.1, "opaque": True},
+            {"id": 2, "x": 0.1, "y": 0.9, "opaque": True},
+        ],
+        "intrinsic_comparisons": [
+            {"point1": 1, "point2": 2, "darker": "1", "darker_score": 1.0},
+            {"point1": 2, "point2": 1, "darker": "1", "darker_score": 1.0},
+        ],
+    }
+    (gt_root / "a.json").write_text(json.dumps(judgements))
+    got = compare.main(["whdr", "--predRoot", str(pred_root),
+                        "--gtRoot", str(gt_root)])
+    np.testing.assert_allclose(got, compute_whdr(refl, judgements)[0])
+    got_bs = compare.main(["whdr", "--predRoot", str(pred_root),
+                           "--gtRoot", str(gt_root), "--useBS"])
+    np.testing.assert_allclose(
+        got_bs, compute_whdr(refl[::-1], judgements)[0]
+    )
+
+    # --- normal: pred npy vs GT png + mask png, CLI resize path ---
+    n = rng.uniform(-1, 1, (8, 8, 3))
+    n[..., 2] = np.abs(n[..., 2]) + 0.3
+    n /= np.linalg.norm(n, axis=-1, keepdims=True)
+    np.save(pred_root / "a_normal1.npy", n.astype(np.float32))
+    gt_png = np.clip((n * 127.5 + 127.5), 0, 255).astype(np.uint8)
+    cv2.imwrite(str(gt_root / "a.png"), gt_png[:, :, ::-1])
+    mask = np.zeros((8, 8), np.uint8)
+    mask[2:6] = 255
+    cv2.imwrite(str(gt_root / "a_mask.png"), np.stack([mask] * 3, -1))
+    got = compare.main(["normal", "--predRoot", str(pred_root),
+                        "--gtRoot", str(gt_root)])
+    gt_dec = cv2.imread(str(gt_root / "a.png"))[:, :, ::-1].astype(
+        np.float32
+    )
+    exp_mean, _ = normal_angle_error(
+        np.load(pred_root / "a_normal1.npy"),  # the CLI's f32 product
+        (gt_dec - 127.5) / 127.5, (mask == 255).astype(np.float32),
+    )
+    np.testing.assert_allclose(got, exp_mean, rtol=1e-6)
+
+    # --- depth: pred npy (resized by the CLI) vs float tiff GT ---
+    d = (rng.rand(8, 8) * 8 + 1.1).astype(np.float32)
+    np.save(pred_root / "a_depth1.npy", d[..., None])
+    np.save(pred_root / "a_depthBS1.npy", 2.0 * d[..., None])
+    gt_d = (rng.rand(16, 16) * 8 + 1.1).astype(np.float32)
+    assert cv2.imwrite(str(gt_root / "a.tiff"), gt_d)
+    got = compare.main(["depth", "--predRoot", str(pred_root),
+                        "--gtRoot", str(gt_root)])
+    d_res = cv2.resize(d, (16, 16), interpolation=cv2.INTER_LINEAR)
+    np.testing.assert_allclose(
+        got, si_log_depth_rmse(d_res, gt_d.astype(np.float64)), rtol=1e-6
+    )
+    # scale-invariance: the 2x-scaled BS depth gives the same RMSE
+    got_bs = compare.main(["depth", "--predRoot", str(pred_root),
+                           "--gtRoot", str(gt_root), "--useBS"])
+    np.testing.assert_allclose(got_bs, got, rtol=1e-6)
