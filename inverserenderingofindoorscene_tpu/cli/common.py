@@ -44,6 +44,18 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--saveEvery", type=int, default=1, help="epochs between checkpoints")
     p.add_argument("--maxSteps", type=int, default=None,
                    help="optional cap on steps per epoch (smoke runs)")
+    p.add_argument("--ckptEverySteps", type=int, default=0,
+                   help="preemption-grade mid-epoch checkpoints every N "
+                        "steps (0 = per-epoch only, the reference's "
+                        "cadence trainBRDF.py:392-396)")
+    p.add_argument("--ckptKeep", type=int, default=2,
+                   help="step checkpoints retained (older ones pruned)")
+    p.add_argument("--resume", default="epoch",
+                   choices=["auto", "epoch", "none"],
+                   help="'auto': most recent of epoch/step checkpoints "
+                        "(restores mid-epoch data position + LR "
+                        "schedule); 'epoch': latest epoch checkpoint; "
+                        "'none': fresh start")
     return p
 
 
@@ -247,3 +259,60 @@ def dump_preview(exp, epoch, step, arrays: dict):
             write_image_grid(img, path, gamma=gamma)
         else:
             write_image(img, path, gamma=gamma)
+
+
+def resume_train_state(opt, exp, stage, cascade, state,
+                       explicit_epoch=None):
+    """Unified resume for the train CLIs -> (state, start_epoch, skip).
+
+    ``--resume epoch`` (default): latest per-epoch checkpoint (or the
+    explicit ``--resumeEpoch``), continuing at the next epoch — the
+    reference's resume granularity (trainBRDF.py:90-103).
+    ``--resume auto``: the most RECENT of the epoch and per-step
+    checkpoints; a step checkpoint restores mid-epoch, continuing at
+    batch ``skip`` of ``start_epoch`` — the LR schedule rides in the
+    restored opt_state/step, and the loaders' (seed, epoch, item)-keyed
+    augmentation streams make the skipped prefix deterministic.
+    ``--resume none``: fresh start.
+    """
+    from inverserenderingofindoorscene_tpu.utils import checkpoint as ckpt
+
+    mode = getattr(opt, "resume", "epoch")
+    if mode == "none":
+        return state, 0, 0
+    ep = explicit_epoch
+    if ep is None:
+        ep = ckpt.latest_epoch(exp, stage, cascade)
+    best = None if ep is None else ("epoch", ep)
+    if mode == "auto" and explicit_epoch is None:
+        steps = ckpt.list_step_checkpoints(exp, stage, cascade)
+        if steps:
+            e2, j2 = steps[-1]
+            # an epoch-e checkpoint resumes at position (e+1, 0); a step
+            # checkpoint after step j of epoch e resumes at (e, j+1)
+            if ep is None or (e2, j2 + 1) > (ep + 1, 0):
+                best = ("step", (e2, j2))
+    if best is None:
+        return state, 0, 0
+    if best[0] == "epoch":
+        state = ckpt.restore_checkpoint(exp, stage, cascade, best[1], state)
+        print(f"resumed from epoch {best[1]}")
+        return state, best[1] + 1, 0
+    e2, j2 = best[1]
+    state, _, _ = ckpt.restore_step_checkpoint(
+        exp, stage, cascade, e2, j2, state
+    )
+    print(f"resumed from step checkpoint epoch {e2} step {j2}")
+    return state, e2, j2 + 1
+
+
+def maybe_save_step_checkpoint(opt, exp, stage, cascade, state, epoch, j):
+    """The per-N-step save hook (no-op unless --ckptEverySteps > 0)."""
+    from inverserenderingofindoorscene_tpu.utils import checkpoint as ckpt
+
+    n = getattr(opt, "ckptEverySteps", 0) or 0
+    if n > 0 and (j + 1) % n == 0:
+        ckpt.save_step_checkpoint(
+            exp, stage, cascade, state, epoch, j,
+            keep=getattr(opt, "ckptKeep", 2),
+        )

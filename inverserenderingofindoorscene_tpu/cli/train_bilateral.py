@@ -138,14 +138,10 @@ def main(argv=None):
     loader = common.make_loader(opt, "TRAIN", is_light=False)
     state = create_train_state(bs_params, reference_adam(1e-4))
 
-    start_epoch = 0
-    resume = opt.resumeEpoch
-    if resume is None:
-        resume = ckpt.latest_epoch(exp, "bs", opt.cascadeLevel)
-    if resume is not None:
-        state = ckpt.restore_checkpoint(exp, "bs", opt.cascadeLevel, resume,
-                                        state)
-        start_epoch = resume + 1
+    state, start_epoch, skip = common.resume_train_state(
+        opt, exp, "bs", opt.cascadeLevel, state,
+        explicit_epoch=opt.resumeEpoch,
+    )
 
     def jit_step(nets, donate=True):
         # No donation under auto dispatch: an edge-bucket overflow re-runs
@@ -171,9 +167,14 @@ def main(argv=None):
         for j, np_batch in enumerate(loader):
             if opt.maxSteps is not None and j >= opt.maxSteps:
                 break
+            if epoch == start_epoch and j < skip:
+                continue  # mid-epoch resume: replay position, not steps
             batch = common.stage_batch(np_batch)
             state, metrics = step_fn(state, batch)
             logger.log(epoch, j, {k: float(v) for k, v in metrics.items()})
+            common.maybe_save_step_checkpoint(
+                opt, exp, "bs", opt.cascadeLevel, state, epoch, j
+            )
         ckpt.save_checkpoint(exp, "bs", opt.cascadeLevel, epoch, state)
         logger.save_curves(exp, epoch)
     logger.close()

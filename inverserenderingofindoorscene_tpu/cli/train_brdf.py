@@ -53,16 +53,10 @@ def main(argv=None):
     tx = reference_adam(1e-4, epoch_decay_steps=steps_per_10_epochs)
     state = create_train_state(params, tx)
 
-    start_epoch = 0
-    resume = opt.resumeEpoch
-    if resume is None:
-        resume = ckpt.latest_epoch(exp, "brdf", opt.cascadeLevel)
-    if resume is not None:
-        state = ckpt.restore_checkpoint(
-            exp, "brdf", opt.cascadeLevel, resume, state
-        )
-        start_epoch = resume + 1
-        print(f"resumed from epoch {resume}")
+    state, start_epoch, skip = common.resume_train_state(
+        opt, exp, "brdf", opt.cascadeLevel, state,
+        explicit_epoch=opt.resumeEpoch,
+    )
 
     step_fn = jax.jit(
         make_brdf_train_step(
@@ -82,9 +76,14 @@ def main(argv=None):
         for j, np_batch in enumerate(loader):
             if opt.maxSteps is not None and j >= opt.maxSteps:
                 break
+            if epoch == start_epoch and j < skip:
+                continue  # mid-epoch resume: replay position, not steps
             batch = common.stage_batch(np_batch)
             state, metrics = step_fn(state, batch)
             logger.log(epoch, j, {k: float(v) for k, v in metrics.items()})
+            common.maybe_save_step_checkpoint(
+                opt, exp, "brdf", opt.cascadeLevel, state, epoch, j
+            )
             if opt.previewEvery and j % opt.previewEvery == 0:
                 preds = preview_fn(state.params, batch)
                 common.dump_preview(exp, epoch, j, {

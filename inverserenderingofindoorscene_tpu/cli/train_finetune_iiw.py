@@ -78,12 +78,18 @@ def main(argv=None):
         c0 = common.load_frozen_cascade0(opt, jax.random.PRNGKey(opt.seed + 7))
         synth = jax.jit(lambda b: synthesize_pre(*c0, b))
 
+    state, start_epoch, skip = common.resume_train_state(
+        opt, exp, "iiw", opt.cascadeLevel, state
+    )
+
     logger = MetricLogger(f"{exp}/trainingLog.txt")
-    for epoch in range(opt.nepoch):
+    for epoch in range(start_epoch, opt.nepoch):
         pairs, _ = common.zip_max_cycle(syn_loader, iiw_loader)
         for j, (syn_np, iiw_np) in enumerate(pairs):
             if opt.maxSteps is not None and j >= opt.maxSteps:
                 break
+            if epoch == start_epoch and j < skip:
+                continue  # mid-epoch resume: replay position, not steps
             state, m1 = syn_step(state, common.stage_batch(syn_np))
             iiw_batch = common.stage_batch(iiw_np)
             if synth is not None:
@@ -93,6 +99,9 @@ def main(argv=None):
                 epoch, j,
                 {**{f"syn_{k}": float(v) for k, v in m1.items()},
                  **{f"iiw_{k}": float(v) for k, v in m2.items()}},
+            )
+            common.maybe_save_step_checkpoint(
+                opt, exp, "iiw", opt.cascadeLevel, state, epoch, j
             )
         ckpt.save_checkpoint(exp, "iiw", opt.cascadeLevel, epoch, state)
         logger.save_curves(exp, epoch)

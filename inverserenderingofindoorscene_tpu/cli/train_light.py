@@ -87,14 +87,10 @@ def main(argv=None):
     tx = reference_adam(1e-4, epoch_decay_steps=10 * max(len(loader), 1))
     state = create_train_state(light_params, tx)
 
-    start_epoch = 0
-    resume = opt.resumeEpoch
-    if resume is None:
-        resume = ckpt.latest_epoch(exp, "light", opt.cascadeLevel)
-    if resume is not None:
-        state = ckpt.restore_checkpoint(exp, "light", opt.cascadeLevel,
-                                        resume, state)
-        start_epoch = resume + 1
+    state, start_epoch, skip = common.resume_train_state(
+        opt, exp, "light", opt.cascadeLevel, state,
+        explicit_epoch=opt.resumeEpoch,
+    )
 
     step_fn = jax.jit(
         make_light_train_step(
@@ -110,9 +106,14 @@ def main(argv=None):
         for j, np_batch in enumerate(loader):
             if opt.maxSteps is not None and j >= opt.maxSteps:
                 break
+            if epoch == start_epoch and j < skip:
+                continue  # mid-epoch resume: replay position, not steps
             batch = common.stage_batch(np_batch)
             state, metrics = step_fn(state, batch)
             logger.log(epoch, j, {k: float(v) for k, v in metrics.items()})
+            common.maybe_save_step_checkpoint(
+                opt, exp, "light", opt.cascadeLevel, state, epoch, j
+            )
         if epoch % opt.saveEvery == 0 or epoch == opt.nepoch - 1:
             ckpt.save_checkpoint(exp, "light", opt.cascadeLevel, epoch, state)
             logger.save_curves(exp, epoch)

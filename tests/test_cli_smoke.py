@@ -12,6 +12,8 @@ import struct
 import numpy as np
 import pytest
 
+import jax
+
 # Excluded from the fast pre-commit gate (pytest -m 'not slow'); see
 # [tool.pytest.ini_options] in pyproject.toml.
 pytestmark = pytest.mark.slow
@@ -431,3 +433,65 @@ def test_test_real_native_resolution_products(tmp_path):
     # the re-written input photo keeps its original resolution
     orig = cv2.imread(str(outdir / "wide.png"))
     assert orig.shape[:2] == (80, 128)
+
+
+def test_preemption_resume_bitwise(dataset, tmp_path, monkeypatch):
+    """Preemption-grade checkpointing: a run killed mid-epoch (after a
+    --ckptEverySteps step checkpoint) and resumed with --resume auto
+    must land on the SAME final state BITWISE as an uninterrupted run —
+    the restored opt_state carries the LR schedule and the skipped
+    batch prefix reproduces the data position (the loaders' streams are
+    (seed, epoch, item)-keyed)."""
+    from inverserenderingofindoorscene_tpu.cli import train_brdf
+    from inverserenderingofindoorscene_tpu.utils import checkpoint as ckpt
+    from inverserenderingofindoorscene_tpu.utils.logging import MetricLogger
+
+    def run_args(exp):
+        # batchSize 1 -> 3 steps/epoch on the 3-image fixture
+        return _args(dataset, [
+            "--experiment", exp, "--batchSize", "1", "--maxSteps", "100",
+            "--ckptEverySteps", "1", "--resume", "auto",
+        ])
+
+    # --- run A: uninterrupted 1-epoch run ---
+    exp_a = str(tmp_path / "exp_a")
+    train_brdf.main(run_args(exp_a))
+
+    # --- run B: killed after step 2's checkpoint, then resumed ---
+    exp_b = str(tmp_path / "exp_b")
+    orig_log = MetricLogger.log
+    calls = {"n": 0}
+
+    def bomb(self, epoch, j, metrics):
+        orig_log(self, epoch, j, metrics)
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise KeyboardInterrupt  # simulated preemption
+
+    monkeypatch.setattr(MetricLogger, "log", bomb)
+    with pytest.raises(KeyboardInterrupt):
+        train_brdf.main(run_args(exp_b))
+    monkeypatch.setattr(MetricLogger, "log", orig_log)
+
+    # the kill happened between logger.log and the step-1 save: the
+    # newest step checkpoint is (0, 0); no epoch checkpoint exists yet
+    assert ckpt.latest_epoch(exp_b, "brdf", 0) is None
+    assert ckpt.list_step_checkpoints(exp_b, "brdf", 0)[-1] == (0, 0)
+
+    train_brdf.main(run_args(exp_b))  # resume: runs steps 1 and 2
+
+    # --- the two epoch-0 checkpoints must be bitwise identical ---
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    tree_a = ckptr.restore(osp.abspath(osp.join(exp_a, "brdf0_0")))
+    tree_b = ckptr.restore(osp.abspath(osp.join(exp_b, "brdf0_0")))
+    la = jax.tree_util.tree_leaves_with_path(tree_a)
+    lb = jax.tree_util.tree_leaves_with_path(tree_b)
+    assert len(la) == len(lb) > 0
+    for (pa, va), (pb, vb) in zip(la, lb):
+        assert pa == pb
+        np.testing.assert_array_equal(va, vb, err_msg=str(pa))
+
+    # step checkpoints were pruned to --ckptKeep (default 2)
+    assert len(ckpt.list_step_checkpoints(exp_b, "brdf", 0)) <= 2
