@@ -41,6 +41,17 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                         "BRDF-stage loaders (GIL-held PIL/numpy work), "
                         "thread for light-stage loaders (GIL-releasing "
                         "native envmap decode, large items)")
+    p.add_argument("--itemCache", default=None,
+                   help="directory for the packed decode cache "
+                        "(data/cache.py): decode the dataset ONCE into "
+                        "memmapped shards and replay epochs at page-cache "
+                        "bandwidth — only the random exposure multiply "
+                        "runs per item.  Unset = decode every epoch like "
+                        "the reference (trainBRDF.py:136-137)")
+    p.add_argument("--itemCacheHalf", action="store_true",
+                   help="store the cached HDR tensors (im, env_gt) as "
+                        "float16 (half the bandwidth, ~1e-3 relative "
+                        "error; all other fields stay exact)")
     p.add_argument("--saveEvery", type=int, default=1, help="epochs between checkpoints")
     p.add_argument("--maxSteps", type=int, default=None,
                    help="optional cap on steps per epoch (smoke runs)")
@@ -176,13 +187,24 @@ def make_loader(opt, phase: str, is_light: bool, shuffle=True):
         sg_num=opt.SGNum,
         seed=opt.seed,
     )
+    if getattr(opt, "itemCache", None):
+        from inverserenderingofindoorscene_tpu.data.cache import (
+            CachedOpenRoomsDataset,
+        )
+
+        ds = CachedOpenRoomsDataset(
+            ds, opt.itemCache, workers=max(opt.numWorkers, 1),
+            half=getattr(opt, "itemCacheHalf", False),
+        )
     # Prefetch mode (scripts/bench_loader.py medians, 4-core host):
     # BRDF items are dominated by GIL-held PIL/numpy work -> process
     # workers win (80 vs 57 items/s); light items are dominated by the
     # GIL-RELEASING native envmap decode, and their 22 MB env_gt loses
     # more to per-item IPC than the GIL costs -> threads win (13 vs 4).
+    # Cached items are memmap slices: always threads (IPC would re-copy).
     mode = getattr(opt, "loaderMode", None) or (
-        "thread" if is_light else "process"
+        "thread" if (is_light or getattr(opt, "itemCache", None))
+        else "process"
     )
     if opt.numWorkers <= 1:
         mode = "thread"

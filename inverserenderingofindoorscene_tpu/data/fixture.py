@@ -1,0 +1,177 @@
+"""Procedural OpenRooms-format fixture with a LEARNABLE image->fields map.
+
+The reference ships no test data; its training claim rests on the real
+OpenRooms dataset (unfetchable here — zero egress).  This generator
+writes a dataset tree in the reference's exact on-disk formats
+(/root/reference/dataLoader.py:219-319: im_*.hdr RGBE, 8-bit pngs,
+int-header .dat depth, full-res imenv_*.hdr) whose images are PHYSICALLY
+CONSISTENT with their GT fields: smooth albedo/normal(height-field)/
+rough/depth, a spatially-varying 3-lobe SG envmap, and the image rendered
+from those fields with the float64 SG shading oracle (the same equations
+as models.py:461-522).  A network trained on it can actually learn the
+inverse map — which is what the convergence gates
+(tests/test_convergence.py, scripts/run_convergence.py) demonstrate.
+
+Channel conventions mirror the loader's quirks: im_*.hdr is written
+BGR-flipped (loadHdr flips BGR->RGB at read), imenv_*.hdr is written
+as-is (loadEnvmap does NOT flip — dataLoader.py:298-310), so the loaded
+env_gt and im agree channel-for-channel with the rendered physics.
+"""
+
+from __future__ import annotations
+
+import os
+import os.path as osp
+import struct
+
+import numpy as np
+
+
+def _smooth(rng, hw, ch, cell=12):
+    """Low-frequency random field in [0, 1], [H, W, ch]."""
+    import cv2
+
+    h, w = hw
+    small = rng.rand(max(2, h // cell) + 1, max(2, w // cell) + 1, ch)
+    big = cv2.resize(small.astype(np.float32), (w, h),
+                     interpolation=cv2.INTER_CUBIC)
+    if big.ndim == 2:
+        big = big[:, :, None]
+    lo, hi = float(big.min()), float(big.max())
+    return (big - lo) / max(hi - lo, 1e-6)
+
+
+def _sg_envmap_grid(rng, env_rc, n_lobes=3, eh=16, ew=32):
+    """Spatially-varying SG envmap on the [r, c] grid at the FILE's
+    per-pixel resolution (16x32; the loader pools 2x2 to 8x16).
+    Returns [r, c, eh*ew, 3] plus the (axis, lamb, weight) params."""
+    # oracle equations, inline to avoid importing tests/ from the package
+    az = ((np.arange(ew) + 0.5) / ew - 0.5) * 2 * np.pi
+    el = ((np.arange(eh) + 0.5) / eh) * np.pi / 2.0
+    az, el = np.meshgrid(az, el)
+    ls = np.stack([np.sin(el) * np.cos(az), np.sin(el) * np.sin(az),
+                   np.cos(el)], axis=-1).reshape(-1, 3)  # [D,3]
+
+    r, c = env_rc
+    axis = rng.randn(n_lobes, 3)
+    axis[:, 2] = np.abs(axis[:, 2]) + 0.5
+    axis /= np.linalg.norm(axis, axis=-1, keepdims=True)
+    lamb = rng.uniform(2.0, 15.0, (n_lobes,))
+    base = rng.uniform(0.3, 2.0, (n_lobes, 3))
+    # smooth spatial modulation per lobe: lighting varies across the scene
+    mod = 0.25 + 0.75 * _smooth(rng, env_rc, n_lobes, cell=24)  # [r,c,K]
+
+    cos = axis @ ls.T  # [K, D]
+    e = np.exp(lamb[:, None] * (cos - 1.0))  # [K, D]
+    # env[r,c,d,3] = sum_k mod[r,c,k] * e[k,d] * base[k,3]
+    env = np.einsum("rck,kd,kx->rcdx", mod, e, base).astype(np.float32)
+    return env, (axis, lamb, base, mod)
+
+
+def _render_image(albedo, normal, rough01, env_pooled, fov_deg=57.0):
+    """Diffuse+specular shading from the GT fields (models.py:461-522
+    equations, float64), at the envmap grid resolution."""
+    import sys
+
+    sys.path.insert(0, osp.join(osp.dirname(__file__), "..", ".."))
+    from tests.oracle_np import render_envmap_np
+
+    diffuse, spec = render_envmap_np(
+        albedo[None].astype(np.float64),
+        normal[None].astype(np.float64),
+        (2.0 * rough01[None].astype(np.float64) - 1.0),
+        env_pooled[None].astype(np.float64),
+        fov_deg=fov_deg,
+    )
+    return np.clip(diffuse[0] + spec[0], 0.0, None).astype(np.float32)
+
+
+def write_openrooms_fixture(
+    root: str,
+    n_scenes: int = 4,
+    per_scene: int = 12,
+    n_test_scenes: int = 1,
+    im_hw=(120, 160),
+    env_rc=(60, 80),
+    seed: int = 0,
+    verbose: bool = False,
+):
+    """Write the fixture tree.  Scenes [0, n_scenes) are the TRAIN split,
+    the last n_test_scenes of them double as... no — TEST scenes are
+    separate: total scenes = n_scenes + n_test_scenes."""
+    import cv2
+
+    marker = osp.join(root, ".fixture")
+    spec = repr((n_scenes, per_scene, n_test_scenes, im_hw, env_rc, seed, 3))
+    if osp.isfile(marker) and open(marker).read() == spec:
+        return root
+    h, w = im_hw
+    r, c = env_rc
+    os.makedirs(root, exist_ok=True)
+
+    train, test = [], []
+    for s in range(n_scenes + n_test_scenes):
+        name = "scene%04d" % s
+        (train if s < n_scenes else test).append(name)
+        scene = osp.join(root, "main_xml", name)
+        os.makedirs(scene, exist_ok=True)
+        srng = np.random.RandomState(seed * 100003 + s)
+        for i in range(1, per_scene + 1):
+            rng = np.random.RandomState(srng.randint(2**31))
+            # --- GT fields (at image resolution) ---
+            albedo = 0.1 + 0.85 * _smooth(rng, im_hw, 3, cell=10)
+            height = _smooth(rng, im_hw, 1, cell=20)[:, :, 0]
+            gy, gx = np.gradient(height * rng.uniform(10, 30))
+            normal = np.stack([gx, gy, np.ones_like(gx)], -1)
+            normal /= np.linalg.norm(normal, axis=-1, keepdims=True)
+            rough01 = 0.25 + 0.65 * _smooth(rng, im_hw, 1, cell=16)
+            depth = 1.0 + 3.0 * _smooth(rng, im_hw, 1, cell=20)
+            # mask: mostly object, blocky area/env patches
+            m = _smooth(rng, im_hw, 1, cell=16)[:, :, 0]
+            mask = np.where(m < 0.75, 255, np.where(m < 0.9, 128, 0))
+
+            # --- lighting + rendered image ---
+            env_file, _ = _sg_envmap_grid(rng, env_rc)  # [r,c,512,3]
+            env_pooled = env_file.reshape(r, c, 8, 2, 16, 2, 3).mean(
+                axis=(3, 5)
+            ).reshape(r, c, 128, 3)
+            alb_g = cv2.resize(albedo, (c, r), interpolation=cv2.INTER_AREA)
+            nrm_g = cv2.resize(normal, (c, r), interpolation=cv2.INTER_AREA)
+            nrm_g /= np.linalg.norm(nrm_g, axis=-1, keepdims=True)
+            rgh_g = cv2.resize(rough01, (c, r),
+                               interpolation=cv2.INTER_AREA)[:, :, None]
+            im_g = _render_image(alb_g, nrm_g, rgh_g, env_pooled)
+            im = cv2.resize(im_g, (w, h), interpolation=cv2.INTER_LINEAR)
+
+            # --- write in the reference formats ---
+            assert cv2.imwrite(osp.join(scene, f"im_{i}.hdr"),
+                               im[:, :, ::-1])  # loadHdr flips back
+
+            def png(name, arr_rgb):
+                a = np.clip(arr_rgb * 255.0, 0, 255).astype(np.uint8)
+                assert cv2.imwrite(osp.join(scene, name), a[:, :, ::-1])
+
+            png(f"imbaseColor_{i}.png", albedo ** (1.0 / 2.2))
+            png(f"imnormal_{i}.png", 0.5 * (normal + 1.0))
+            png(f"imroughness_{i}.png", np.repeat(rough01, 3, axis=2))
+            cv2.imwrite(osp.join(scene, f"immask_{i}.png"),
+                        np.stack([mask] * 3, -1).astype(np.uint8))
+            with open(osp.join(scene, f"imdepth_{i}.dat"), "wb") as f:
+                f.write(struct.pack("i", h))
+                f.write(struct.pack("i", w))
+                f.write(depth[:, :, 0].astype(np.float32).tobytes())
+            env_out = env_file.reshape(r, c, 16, 32, 3).transpose(
+                0, 2, 1, 3, 4
+            ).reshape(r * 16, c * 32, 3)
+            assert cv2.imwrite(osp.join(scene, f"imenv_{i}.hdr"),
+                               np.ascontiguousarray(env_out))  # NO flip
+        if verbose:
+            print("fixture: scene %s done" % name, flush=True)
+
+    with open(osp.join(root, "train.txt"), "w") as f:
+        f.write("\n".join(train) + "\n")
+    with open(osp.join(root, "test.txt"), "w") as f:
+        f.write("\n".join(test) + "\n")
+    with open(marker, "w") as f:
+        f.write(spec)
+    return root

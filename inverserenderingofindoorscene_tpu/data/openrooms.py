@@ -175,19 +175,29 @@ class OpenRoomsDataset:
         im = cv2.resize(im, (w, h), interpolation=cv2.INTER_AREA)
         return np.ascontiguousarray(im[:, :, ::-1]).astype(np.float32)
 
-    def _scale_hdr(self, hdr, seg, rng):
-        """Exposure scaling to the 95th-pct masked intensity
-        (scaleHdr, dataLoader.py:251-259)."""
+    def _hdr_pivot(self, hdr, seg):
+        """95th-pct masked intensity (scaleHdr, dataLoader.py:251-259) —
+        the epoch-INVARIANT part of exposure scaling (cached by
+        data/cache.py so only the random multiply runs per epoch)."""
         h, w = self.im_hw
         # kth order statistic == sort(...)[k] (dataLoader.py:253), via
         # partition: ~6x cheaper than the full sort
         k = int(0.95 * h * w * 3)
         arr = (hdr * seg).flatten()
-        pivot = np.clip(np.partition(arr, k)[k], 0.1, None)
+        return np.clip(np.partition(arr, k)[k], 0.1, None)
+
+    def _exposure_scale(self, pivot, rng):
+        """Random (TRAIN) / fixed (TEST) exposure scale from the cached
+        pivot; consumes exactly ONE rng draw so the cached dataset's
+        augmentation stream matches this one bitwise."""
         if self.phase == "TRAIN":
-            scale = (0.95 - 0.1 * rng.random_sample()) / pivot
-        else:
-            scale = (0.95 - 0.05) / pivot
+            return (0.95 - 0.1 * rng.random_sample()) / pivot
+        return (0.95 - 0.05) / pivot
+
+    def _scale_hdr(self, hdr, seg, rng):
+        """Exposure scaling to the 95th-pct masked intensity
+        (scaleHdr, dataLoader.py:251-259)."""
+        scale = self._exposure_scale(self._hdr_pivot(hdr, seg), rng)
         return np.clip(scale * hdr, 0, 1), scale
 
     def _load_depth(self, path):
@@ -267,6 +277,19 @@ class OpenRoomsDataset:
         return out, 1.0
 
     def __getitem__(self, ind):
+        return self._decode_item(ind, self._item_rng(ind))
+
+    def load_raw(self, ind):
+        """Epoch-invariant decode products for the packed item cache
+        (data/cache.py): the item dict with 'im' UNSCALED + its exposure
+        'pivot' attached, and env_gt decoded at scale 1.  Everything the
+        per-epoch read has to redo is one rng draw and two multiplies."""
+        return self._decode_item(ind, None)
+
+    def _decode_item(self, ind, rng):
+        """One item's full decode.  ``rng`` given = the direct per-epoch
+        path (exposure applied; scale folded into the native envmap
+        decode).  ``rng=None`` = invariant mode for the cache builder."""
         import scipy.ndimage as ndimage
 
         paths = self._paths(self.im_list[ind])
@@ -282,7 +305,12 @@ class OpenRoomsDataset:
         seg_obj = seg_obj.astype(np.float32)
 
         im = self._load_hdr(paths["im"])
-        im, scale = self._scale_hdr(im, seg, self._item_rng(ind))
+        pivot = self._hdr_pivot(im, seg)
+        if rng is None:
+            scale = 1.0
+        else:
+            scale = self._exposure_scale(pivot, rng)
+            im = np.clip(scale * im, 0, 1)
 
         albedo = self._load_ldr(paths["albedo"])
         albedo = (0.5 * (albedo + 1.0)) ** 2.2
@@ -307,6 +335,8 @@ class OpenRoomsDataset:
             "seg_all": seg_area + seg_obj,
             "name": self.im_list[ind],
         }
+        if rng is None:
+            out["pivot"] = np.float32(pivot)
 
         if self.is_light:
             # exposure scale folded into the decode (saves a GIL-held
@@ -439,8 +469,19 @@ class BatchIterator:
 
         epoch = self._epoch_counter - 1
 
+        # a dataset exposing get_batch (the packed cache) collates into
+        # recycled buffers itself — cheaper than per-item + np.stack
+        use_get_batch = (self.mode != "process" or self.workers <= 1) and \
+            hasattr(self.ds, "get_batch")
+
         def produce():
-            if self.mode == "process" and self.workers > 1:
+            if use_get_batch:
+                for idxs in batches:
+                    if abort.is_set():
+                        return
+                    if not put(self.ds.get_batch(idxs)):
+                        return
+            elif self.mode == "process" and self.workers > 1:
                 pool = self._process_pool()
                 chunk = max(1, self.bs // (2 * self.workers))
                 for idxs in batches:

@@ -91,7 +91,7 @@ def generate(root, n_images):
 
 
 def bench(root, batch, is_light, workers, epochs=3, busy=False,
-          mode="thread"):
+          mode="thread", cache_dir=None, half=False):
     from inverserenderingofindoorscene_tpu.data.openrooms import (
         BatchIterator,
         OpenRoomsDataset,
@@ -99,6 +99,17 @@ def bench(root, batch, is_light, workers, epochs=3, busy=False,
 
     ds = OpenRoomsDataset(root, im_hw=IM_HW, env_rc=ENV_RC,
                           is_light=is_light, is_all_light=is_light)
+    if cache_dir is not None:
+        from inverserenderingofindoorscene_tpu.data.cache import (
+            CachedOpenRoomsDataset,
+        )
+
+        t0 = time.perf_counter()
+        ds = CachedOpenRoomsDataset(ds, cache_dir, workers=4, half=half)
+        build_s = time.perf_counter() - t0
+        if build_s > 1.0:
+            log(f"  cache build ({'f16' if half else 'f32'}): "
+                f"{build_s:.1f}s one-time for {len(ds)} items")
     it = BatchIterator(ds, batch, num_workers=workers, seed=1, mode=mode)
 
     stop_busy = []
@@ -134,27 +145,50 @@ def main():
     ap.add_argument("--root", default="/tmp/irois_loader_bench")
     ap.add_argument("--images", type=int, default=48)
     ap.add_argument("--workers", type=int, nargs="+", default=[1, 2, 4, 8])
+    ap.add_argument("--cache", action="store_true",
+                    help="measure ONLY the packed-decode-cache modes")
+    ap.add_argument("--no-direct", action="store_true",
+                    help="skip the direct (re-decode every epoch) modes")
     opt = ap.parse_args()
 
     generate(opt.root, opt.images)
+    cache_dir = osp.join(opt.root, "_cache")
     for stage, batch, is_light, step_ms in (
         ("brdf", 16, False, 101.1), ("light", 5, True, 68.4),
     ):
         need = batch / (step_ms / 1e3)
-        for mode in ("thread", "process"):
+        if not opt.cache and not opt.no_direct:
+            for mode in ("thread", "process"):
+                for w in opt.workers:
+                    rates = bench(opt.root, batch, is_light, w, mode=mode)
+                    warm = max(rates[1:]) if len(rates) > 1 else rates[0]
+                    verdict = ("keeps chip busy" if warm >= need
+                               else "LOADER-BOUND")
+                    log(f"{stage:5s} B{batch:<2d} {mode:7s} workers={w}: "
+                        f"{' '.join(f'{r:6.1f}' for r in rates)} items/s "
+                        f"(need {need:.1f} for the {step_ms} ms step) "
+                        f"{verdict}")
+            rates = bench(opt.root, batch, is_light, 4, busy=True,
+                          mode="process")
+            log(f"{stage:5s} B{batch:<2d} process workers=4 + busy host: "
+                f"{' '.join(f'{r:6.1f}' for r in rates)} items/s")
+        # packed decode cache (VERDICT r3 #2): decode once, replay epochs
+        for half in (False, True):
+            tag = "cache-f16" if half else "cache-f32"
             for w in opt.workers:
-                rates = bench(opt.root, batch, is_light, w, mode=mode)
+                rates = bench(opt.root, batch, is_light, w, mode="thread",
+                              cache_dir=cache_dir, half=half, epochs=4)
                 warm = max(rates[1:]) if len(rates) > 1 else rates[0]
                 verdict = ("keeps chip busy" if warm >= need
                            else "LOADER-BOUND")
-                log(f"{stage:5s} B{batch:<2d} {mode:7s} workers={w}: "
+                log(f"{stage:5s} B{batch:<2d} {tag:9s} workers={w}: "
                     f"{' '.join(f'{r:6.1f}' for r in rates)} items/s "
-                    f"(need {need:.1f} for the {step_ms} ms step) "
-                    f"{verdict}")
-        rates = bench(opt.root, batch, is_light, 4, busy=True,
-                      mode="process")
-        log(f"{stage:5s} B{batch:<2d} process workers=4 + busy host: "
-            f"{' '.join(f'{r:6.1f}' for r in rates)} items/s")
+                    f"(need {need:.1f}) {verdict}")
+            rates = bench(opt.root, batch, is_light, 4, busy=True,
+                          mode="thread", cache_dir=cache_dir, half=half,
+                          epochs=4)
+            log(f"{stage:5s} B{batch:<2d} {tag} workers=4 + busy host: "
+                f"{' '.join(f'{r:6.1f}' for r in rates)} items/s")
 
 
 if __name__ == "__main__":

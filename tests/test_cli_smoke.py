@@ -107,6 +107,95 @@ def test_openrooms_loader_contract(dataset):
     assert len(b["name"]) == 2
 
 
+def test_packed_cache_matches_direct_loader(dataset, tmp_path):
+    """The packed decode cache (data/cache.py) must reproduce the direct
+    loader: bitwise for every LDR-derived field, depth, segs, and the
+    exposure-scaled image; ~1 ulp for env_gt (the direct native decoder
+    folds the exposure scale into the pool accumulation, the cache
+    multiplies after).  Epoch advance must track the same (seed, epoch,
+    item) augmentation stream."""
+    from inverserenderingofindoorscene_tpu.data.cache import (
+        CachedOpenRoomsDataset,
+    )
+    from inverserenderingofindoorscene_tpu.data.openrooms import (
+        BatchIterator,
+        OpenRoomsDataset,
+    )
+
+    def make(phase):
+        return OpenRoomsDataset(
+            dataset, im_hw=IM_HW, env_rc=ENV_RC, phase=phase,
+            is_light=True, is_all_light=True, seed=5,
+        )
+
+    direct = make("TRAIN")
+    cached = CachedOpenRoomsDataset(make("TRAIN"), str(tmp_path / "cache"))
+    for epoch in (0, 1):
+        direct.set_epoch(epoch)
+        cached.set_epoch(epoch)
+        for i in range(len(direct)):
+            a, b = direct[i], cached[i]
+            assert set(a) == set(b)
+            for k in a:
+                if k == "name":
+                    assert a[k] == b[k]
+                elif k == "env_gt":
+                    np.testing.assert_allclose(
+                        b[k], a[k], rtol=3e-6, atol=1e-7, err_msg=k
+                    )
+                else:
+                    np.testing.assert_array_equal(b[k], a[k], err_msg=k)
+    # epoch 1 actually differs from epoch 0 (the exposure stream advanced)
+    cached.set_epoch(0)
+    e0 = cached[0]["im"]
+    cached.set_epoch(1)
+    assert not np.array_equal(cached[0]["im"], e0)
+
+    # a second construction reuses the completed cache (no rebuild)
+    import time as _time
+
+    t0 = _time.time()
+    again = CachedOpenRoomsDataset(make("TRAIN"), str(tmp_path / "cache"))
+    assert _time.time() - t0 < 2.0
+    assert again.dir == cached.dir
+
+    # TEST phase: deterministic exposure, same parity
+    dtest = make("TEST")
+    ctest = CachedOpenRoomsDataset(make("TEST"), str(tmp_path / "cache"))
+    np.testing.assert_array_equal(ctest[0]["im"], dtest[0]["im"])
+
+    # half-precision variant: separate cache dir, tolerance contract
+    chalf = CachedOpenRoomsDataset(
+        make("TRAIN"), str(tmp_path / "cache"), half=True
+    )
+    assert chalf.dir != cached.dir
+    direct.set_epoch(0)
+    chalf.set_epoch(0)
+    a, b = direct[0], chalf[0]
+    np.testing.assert_allclose(b["im"], a["im"], atol=2e-3)
+    np.testing.assert_allclose(b["env_gt"], a["env_gt"], rtol=2e-3,
+                               atol=1e-6)
+    np.testing.assert_array_equal(b["albedo"], a["albedo"])
+
+    # BatchIterator integration: identical batches vs a direct iterator,
+    # in both thread and (picklable) process prefetch modes
+    for mode in ("thread", "process"):
+        it_d = BatchIterator(make("TRAIN"), 2, num_workers=2, seed=7,
+                             mode="thread")
+        it_c = BatchIterator(
+            CachedOpenRoomsDataset(make("TRAIN"), str(tmp_path / "cache")),
+            2, num_workers=2, seed=7, mode=mode,
+        )
+        try:
+            for bd, bc in zip(it_d, it_c):
+                assert bd["name"] == bc["name"]
+                np.testing.assert_array_equal(bc["im"], bd["im"])
+                np.testing.assert_allclose(bc["env_gt"], bd["env_gt"],
+                                           rtol=3e-6, atol=1e-7)
+        finally:
+            it_c.close()
+
+
 def test_batch_iterator_process_mode_matches_thread(dataset):
     """The spawned process-pool prefetch (the train CLIs' default for
     BRDF-stage loaders) must yield the SAME batches as the thread/serial
