@@ -1,0 +1,201 @@
+"""From-scratch staged convergence runs on the procedural fixture.
+
+Drives the REAL training CLIs end-to-end, chained exactly like the
+reference's staged recipe (/root/reference/README.md:27-34,
+trainBRDF.py:145-396 -> trainLight.py:215-244 ->
+trainBRDFBilateral.py:264-342): generate a physically-consistent
+fixture (data/fixture.py), train each stage from scratch at a reduced
+operating point, and compare held-out TEST-split metrics against the
+UNTRAINED initialization (same seed => identical init params).
+
+Records, per stage: the train-loss curve (first/last rolling means +
+ratio), init-vs-trained test metrics, and wall times, into
+<out>/summary.json + a markdown table on stdout.  The committed results
+live in BASELINE.md ("Convergence" section); the CI gate version is
+tests/test_convergence.py.
+
+Usage:
+  python scripts/run_convergence.py --out /tmp/irois_conv \
+      [--imHeight 120 --imWidth 160 --envRow 60 --envCol 80] \
+      [--brdfEpochs 60] [--lightEpochs 20] [--bsEpochs 5]
+"""
+
+import argparse
+import json
+import os.path as osp
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+
+
+def log(m):
+    print(m, flush=True)
+
+
+def curve_stats(exp, key="total"):
+    """Loss history from the newest {key}Error_{epoch}.npy the CLI wrote."""
+    import glob
+
+    files = glob.glob(osp.join(exp, f"{key}Error_*.npy"))
+    if not files:
+        return None
+    newest = max(files, key=lambda f: int(f.rsplit("_", 1)[1][:-4]))
+    h = np.load(newest).ravel()
+    k = max(1, min(20, len(h) // 10))
+    return {
+        "steps": int(len(h)),
+        "first": float(h[:k].mean()),
+        "last": float(h[-k:].mean()),
+        "ratio": float(h[:k].mean() / max(h[-k:].mean(), 1e-12)),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="/tmp/irois_conv")
+    ap.add_argument("--imHeight", type=int, default=120)
+    ap.add_argument("--imWidth", type=int, default=160)
+    ap.add_argument("--envRow", type=int, default=60)
+    ap.add_argument("--envCol", type=int, default=80)
+    ap.add_argument("--scenes", type=int, default=5)
+    ap.add_argument("--perScene", type=int, default=12)
+    ap.add_argument("--brdfEpochs", type=int, default=60)
+    ap.add_argument("--brdfBatch", type=int, default=8)
+    ap.add_argument("--lightEpochs", type=int, default=20)
+    ap.add_argument("--lightBatch", type=int, default=4)
+    ap.add_argument("--bsEpochs", type=int, default=5)
+    ap.add_argument("--bsBatch", type=int, default=2)
+    ap.add_argument("--stages", nargs="+",
+                    default=["brdf", "light", "bilateral"])
+    ap.add_argument("--computeDtype", default="bfloat16")
+    ap.add_argument("--platform", default=None, choices=[None, "cpu"],
+                    help="force the cpu backend (the container's "
+                         "sitecustomize pins the axon TPU otherwise)")
+    opt = ap.parse_args()
+
+    if opt.platform == "cpu":
+        import os
+
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from inverserenderingofindoorscene_tpu.cli import (
+        test_synthetic,
+        train_bilateral,
+        train_brdf,
+        train_light,
+    )
+    from inverserenderingofindoorscene_tpu.data.fixture import (
+        write_openrooms_fixture,
+    )
+
+    root = osp.join(opt.out, "fixture")
+    t0 = time.time()
+    write_openrooms_fixture(
+        root, n_scenes=opt.scenes, per_scene=opt.perScene,
+        n_test_scenes=1, im_hw=(opt.imHeight, opt.imWidth),
+        env_rc=(opt.envRow, opt.envCol),
+    )
+    log(f"fixture: {opt.scenes}x{opt.perScene} train + "
+        f"1x{opt.perScene} test images in {time.time() - t0:.0f}s")
+
+    def args(extra, bs, epochs, max_steps=None):
+        a = [
+            "--dataRoot", root,
+            "--imHeight", str(opt.imHeight), "--imWidth", str(opt.imWidth),
+            "--envRow", str(opt.envRow), "--envCol", str(opt.envCol),
+            "--batchSize", str(bs), "--nepoch", str(epochs),
+            "--numWorkers", "2", "--itemCache", osp.join(opt.out, "cache"),
+            "--saveEvery", "10",
+        ]
+        if max_steps is not None:
+            a += ["--maxSteps", str(max_steps)]
+        return a + extra
+
+    summary = {"config": vars(opt), "stages": {}}
+    exp = {}
+
+    def run_stage(name, train_main, bs, epochs, extra_train, eval_extra,
+                  eval_keys):
+        rec = {}
+        # 1) init checkpoint (0 steps; same seed => the training run's
+        #    exact init params) + held-out eval of the UNTRAINED nets
+        init_exp = osp.join(opt.out, f"{name}_init")
+        train_main(args(["--experiment", init_exp] + extra_train,
+                        bs, 1, max_steps=0))
+        m0 = test_synthetic.main(args(
+            ["--stage", name if name != "bilateral" else "bilateral",
+             "--testRoot", osp.join(opt.out, f"test_{name}_init")]
+            + eval_extra(init_exp), bs, 1))
+        rec["init_test"] = {k: _scalar(m0[k]) for k in eval_keys}
+        # 2) the real run
+        t1 = time.time()
+        main_exp = osp.join(opt.out, f"{name}_main")
+        train_main(args(["--experiment", main_exp] + extra_train,
+                        bs, epochs))
+        rec["train_s"] = round(time.time() - t1, 1)
+        rec["loss"] = curve_stats(main_exp)
+        # 3) held-out eval of the trained nets
+        m1 = test_synthetic.main(args(
+            ["--stage", name,
+             "--testRoot", osp.join(opt.out, f"test_{name}_main")]
+            + eval_extra(main_exp), bs, 1))
+        rec["trained_test"] = {k: _scalar(m1[k]) for k in eval_keys}
+        rec["test_improvement"] = {
+            k: round(rec["init_test"][k] / max(rec["trained_test"][k],
+                                               1e-12), 2)
+            for k in eval_keys
+        }
+        exp[name] = main_exp
+        summary["stages"][name] = rec
+        log(f"[{name}] loss {rec['loss']} | init {rec['init_test']} | "
+            f"trained {rec['trained_test']} | x-better "
+            f"{rec['test_improvement']} | {rec['train_s']}s")
+
+    def _scalar(v):
+        a = np.asarray(v, np.float64).ravel()
+        return float(a[-1] if a.size > 1 else a[0])  # bilateral: [raw, bs]
+
+    dt = ["--computeDtype", opt.computeDtype]
+
+    if "brdf" in opt.stages:
+        run_stage("brdf", train_brdf.main, opt.brdfBatch, opt.brdfEpochs,
+                  dt + ["--previewEvery", "0"],
+                  lambda e: ["--brdfExperiment", e],
+                  ["albedo", "normal", "rough", "depth"])
+    if "light" in opt.stages:
+        brdf_args = (["--brdfExperiment", exp["brdf"]]
+                     if "brdf" in exp else [])
+        run_stage("light", train_light.main, opt.lightBatch,
+                  opt.lightEpochs, dt + brdf_args,
+                  lambda e: ["--lightExperiment", e] + brdf_args,
+                  ["reconst", "render"])
+    if "bilateral" in opt.stages:
+        brdf_args = (["--brdfExperiment", exp["brdf"]]
+                     if "brdf" in exp else [])
+        run_stage("bilateral", train_bilateral.main, opt.bsBatch,
+                  opt.bsEpochs, brdf_args,
+                  lambda e: ["--bsExperiment", e] + brdf_args,
+                  ["albedo_bs", "rough_bs", "depth_bs"])
+
+    with open(osp.join(opt.out, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=1)
+    log("\n| stage | steps | loss first->last (ratio) | test init -> trained |")
+    log("|---|---|---|---|")
+    for name, rec in summary["stages"].items():
+        c = rec["loss"]
+        tt = ", ".join(
+            f"{k} {rec['init_test'][k]:.4g}->{rec['trained_test'][k]:.4g}"
+            for k in rec["trained_test"])
+        log(f"| {name} | {c['steps']} | {c['first']:.4g} -> {c['last']:.4g} "
+            f"({c['ratio']:.1f}x) | {tt} |")
+    log(f"summary: {osp.join(opt.out, 'summary.json')}")
+
+
+if __name__ == "__main__":
+    main()
