@@ -133,5 +133,33 @@ def main():
               f"(runs: {' '.join(f'{m:.2f}' for m in ms)})", flush=True)
 
 
+def probe_transfer():
+    """Is the ~25 ms cost of producing the [1,120,160,128,3] envmap
+    COMPUTE or WIRE?  Same kernel, output returned vs reduced on-device."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(1, 120, 160, 12, 3).astype(np.float32))
+
+    @jax.jit
+    def full(x):
+        # ~same output size as the envmap decode, trivial compute
+        return jnp.broadcast_to(x[..., :1, :], (1, 120, 160, 128, 3)) * 2.0
+
+    @jax.jit
+    def reduced(x):
+        return (jnp.broadcast_to(x[..., :1, :],
+                                 (1, 120, 160, 128, 3)) * 2.0).sum()
+
+    for name, fn in (("return 29.5MB", full), ("return scalar", reduced)):
+        ms = timeit(fn, (x,), 30)
+        print(f"transfer probe: {name:15s} {ms:7.2f} ms", flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    if "--probe" in sys.argv:
+        sys.argv.remove("--probe")
+        probe_transfer()
+    else:
+        main()

@@ -37,6 +37,10 @@ def main():
     ap.add_argument("--v-max", default="full",
                     help="bilateral vertex capacity: 'full', 'auto', or int")
     ap.add_argument("--use-pallas", action="store_true")
+    ap.add_argument("--ab", action="store_true",
+                    help="compile BOTH the jnp and pallas chains and time "
+                         "them interleaved in one process (tunnel drift "
+                         "is hour-scale; cross-process A/Bs are unsafe)")
     ap.add_argument("--fused", action="store_true",
                     help="one whole-chain XLA program (InverseRenderer "
                          "fused=True, cLight branch traced as jnp.where) "
@@ -86,31 +90,36 @@ def main():
     # asynchronously; only the final fetch synchronizes.  Params are jit
     # ARGUMENTS (closed-over arrays embed as HLO constants and blow the
     # remote compile service's request size limit, HTTP 413).
-    @jax.jit
-    def stage0(bp, lp, im):
-        im_small = adaptive_avg_pool(im, (er, ec))
-        preds0 = predict_brdf(b0, bp, im)
-        light0 = predict_light_core(l0, lp, im, preds0, im_small, fov,
-                                    use_pallas=use_pallas)
-        return im_small, preds0, light0
+    def make_stages(use_pallas):
+        @jax.jit
+        def stage0(bp, lp, im):
+            im_small = adaptive_avg_pool(im, (er, ec))
+            preds0 = predict_brdf(b0, bp, im)
+            light0 = predict_light_core(l0, lp, im, preds0, im_small, fov,
+                                        use_pallas=use_pallas)
+            return im_small, preds0, light0
 
-    @jax.jit
-    def stage1(bp, lp, im, im_small, preds0, light0):
-        hw = im.shape[1:3]
-        extra = [
-            resize_bilinear(preds0["albedo"], hw),
-            0.5 * (resize_bilinear(preds0["normal"], hw) + 1.0),
-            0.5 * (resize_bilinear(preds0["rough"], hw) + 1.0),
-            resize_bilinear(preds0["depth"], hw),
-            resize_bilinear(light0["diffuse"], hw),
-            resize_bilinear(light0["specular"], hw),
-        ]
-        preds1 = predict_brdf(b1, bp, im, extra)
-        light1 = predict_light_core(
-            l1, lp, im, preds1, im_small, fov, env_pre=light0["sg_flat"],
-            use_pallas=use_pallas,
-        )
-        return preds1, light1
+        @jax.jit
+        def stage1(bp, lp, im, im_small, preds0, light0):
+            hw = im.shape[1:3]
+            extra = [
+                resize_bilinear(preds0["albedo"], hw),
+                0.5 * (resize_bilinear(preds0["normal"], hw) + 1.0),
+                0.5 * (resize_bilinear(preds0["rough"], hw) + 1.0),
+                resize_bilinear(preds0["depth"], hw),
+                resize_bilinear(light0["diffuse"], hw),
+                resize_bilinear(light0["specular"], hw),
+            ]
+            preds1 = predict_brdf(b1, bp, im, extra)
+            light1 = predict_light_core(
+                l1, lp, im, preds1, im_small, fov, env_pre=light0["sg_flat"],
+                use_pallas=use_pallas,
+            )
+            return preds1, light1
+
+        return stage0, stage1
+
+    stage0, stage1 = make_stages(use_pallas)
 
     if opt.fused:
         from inverserenderingofindoorscene_tpu.pipeline.inference import (
@@ -159,6 +168,47 @@ def main():
     im = jnp.asarray(
         np.broadcast_to(im_np, (opt.batch, h, w, 3)), jnp.float32
     )
+    if opt.ab:
+        assert not opt.fused, "--ab runs the staged chain"
+        variants = []
+        for tag_p, up in (("jnp", False), ("pallas", True)):
+            s0, s1 = make_stages(up)
+
+            def mk(s0, s1):
+                def ch(im):
+                    im_small, preds0, light0 = s0(bp0, lp0, im)
+                    preds1, light1 = s1(bp1, lp1, im, im_small, preds0,
+                                        light0)
+                    out = {"preds": preds1, "env": light1["env_img"],
+                           "sg": light1["sg_flat"]}
+                    if not opt.no_bs:
+                        out["refined"] = jit_bs(im, preds1)
+                    return out
+                return ch
+
+            ch = mk(s0, s1)
+            print(f"compiling {tag_p} chain ...", flush=True)
+            t0 = time.time()
+            fence(ch(im))
+            print(f"  compiled in {time.time() - t0:.0f} s", flush=True)
+            variants.append((tag_p, ch))
+        res = {}
+        for rnd in range(3):
+            for tag_p, ch in variants:
+                t0 = time.perf_counter()
+                out = None
+                for _ in range(opt.iters):
+                    out = ch(im)
+                fence(out)
+                ms = (time.perf_counter() - t0) / opt.iters / opt.batch * 1e3
+                res.setdefault(tag_p, []).append(ms)
+        for tag_p, mss in res.items():
+            print(f"A/B B{opt.batch} {opt.dtype} staged no-bs={opt.no_bs} "
+                  f"{tag_p:7s}: min {min(mss):7.1f} ms/image "
+                  f"(runs: {' '.join(f'{m:.1f}' for m in mss)})", flush=True)
+        return
+
+
     t0 = time.time()
     print("compiling the full chain ...", flush=True)
     out0 = chain(im)

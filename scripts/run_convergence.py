@@ -53,7 +53,7 @@ def curve_stats(exp, key="total"):
     }
 
 
-def main():
+def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/irois_conv")
     ap.add_argument("--imHeight", type=int, default=120)
@@ -74,7 +74,7 @@ def main():
     ap.add_argument("--platform", default=None, choices=[None, "cpu"],
                     help="force the cpu backend (the container's "
                          "sitecustomize pins the axon TPU otherwise)")
-    opt = ap.parse_args()
+    opt = ap.parse_args(argv)
 
     if opt.platform == "cpu":
         import os
@@ -117,11 +117,24 @@ def main():
             a += ["--maxSteps", str(max_steps)]
         return a + extra
 
+    # resumable: a stage already recorded in <out>/summary.json is kept
+    # (the axon tunnel can wedge mid-run — kill + rerun continues)
+    prior = {}
+    sj = osp.join(opt.out, "summary.json")
+    if osp.isfile(sj):
+        with open(sj) as f:
+            prior = json.load(f).get("stages", {})
     summary = {"config": vars(opt), "stages": {}}
     exp = {}
 
     def run_stage(name, train_main, bs, epochs, extra_train, eval_extra,
                   eval_keys):
+        main_exp0 = osp.join(opt.out, f"{name}_main")
+        if name in prior:
+            log(f"[{name}] already recorded; skipping (resume)")
+            summary["stages"][name] = prior[name]
+            exp[name] = main_exp0
+            return
         rec = {}
         # 1) init checkpoint (0 steps; same seed => the training run's
         #    exact init params) + held-out eval of the UNTRAINED nets
@@ -195,6 +208,7 @@ def main():
         log(f"| {name} | {c['steps']} | {c['first']:.4g} -> {c['last']:.4g} "
             f"({c['ratio']:.1f}x) | {tt} |")
     log(f"summary: {osp.join(opt.out, 'summary.json')}")
+    return summary
 
 
 if __name__ == "__main__":
