@@ -78,8 +78,12 @@ def test_light_converges(summary):
 def test_bilateral_converges(summary):
     rec = summary["stages"]["bilateral"]
     # the confidence CNN's refinement loss falls; the refined held-out
-    # metrics do not regress vs the untrained refiner
-    assert rec["loss"]["ratio"] >= 1.1, rec["loss"]
+    # metrics do not regress vs the untrained refiner.  NB the loss is
+    # floor-limited by the frozen BRDF's quality (on the chip run's
+    # 420-step BRDF the refinement is already AT its floor and the ratio
+    # is ~1.0 — BASELINE.md); this gate's 128-step BRDF leaves signal
+    # (calibration: 1.16x) and the CPU run is deterministic.
+    assert rec["loss"]["ratio"] >= 1.05, rec["loss"]
     for k in ("albedo_bs", "rough_bs", "depth_bs"):
         assert rec["trained_test"][k] <= rec["init_test"][k] * 1.02, (k, rec)
 
