@@ -56,21 +56,37 @@ class _BufferPool:
     — the pool just grows to cover the in-flight depth."""
 
     def __init__(self):
+        import threading
+
         self._pools: dict = {}
+        # two BatchIterators over one cached dataset = two producer
+        # threads; without the lock both could see refcount==3 on the
+        # same buffer before either stores it, and hand it out twice
+        self._lock = threading.Lock()
+
+    # picklable (spawned process-pool workers ship the dataset, which
+    # carries a pool): state is transient, a worker starts empty
+    def __getstate__(self):
+        return {}
+
+    def __setstate__(self, state):
+        self.__init__()
 
     def get(self, key, shape, dtype):
         import sys
 
-        pool = self._pools.setdefault(key, [])
-        for a in pool:
-            # 3 == the pool's reference + the loop variable + getrefcount's
-            # own argument: nothing else holds this buffer
-            if (a.shape == shape and a.dtype == dtype
-                    and sys.getrefcount(a) == 3):
-                return a
-        a = np.zeros(shape, dtype)  # zeros: fault the pages ONCE, here
-        pool.append(a)
-        return a
+        with self._lock:
+            pool = self._pools.setdefault(key, [])
+            for a in pool:
+                # 3 == the pool's reference + the loop variable +
+                # getrefcount's own argument: nothing else holds this
+                # buffer (the lock makes check-then-return atomic)
+                if (a.shape == shape and a.dtype == dtype
+                        and sys.getrefcount(a) == 3):
+                    return a
+            a = np.zeros(shape, dtype)  # zeros: fault the pages ONCE, here
+            pool.append(a)
+            return a
 # 0/1 float masks stored as uint8 (exact, 4x smaller)
 _U8_FIELDS = ("seg_area", "seg_env", "seg_brdf")
 # HDR tensors eligible for float16 storage under half=True

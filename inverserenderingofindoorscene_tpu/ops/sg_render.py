@@ -54,7 +54,7 @@ def pack_dir_consts(env_height, env_width, dtype=np.float32):
 
 
 def _shade_tile_math(albedo, normal, rough, axis, lamb, weight, v, consts,
-                     f0):
+                     f0, with_env=False):
     """Shade a tile of P pixels in the TRANSPOSED layout.
 
     All inputs are channel-major: albedo/normal/v [3,P]; rough [1,P];
@@ -178,6 +178,11 @@ def _shade_tile_math(albedo, normal, rough, axis, lamb, weight, v, consts,
 
     diffuse = albedo * inv_pi * reduce3(ndl_w)
     specular = reduce3(spec_w)
+    if with_env:
+        # the decoded radiance planes are already live in VMEM — the
+        # fused-serving kernel writes them out for free (the separate
+        # sg_envmap launch re-evaluates the whole SG mixture)
+        return diffuse, specular, env_r, env_g, env_b
     return diffuse, specular
 
 
@@ -376,6 +381,95 @@ def render_sg(
         v,
     )
     return dif.reshape(b, h, w, 3), spc.reshape(b, h, w, 3)
+
+
+# ---------------------------------------------------------------------------
+# Fused serving forward: ONE kernel -> (diffuse, specular, envmap).
+# The shading kernel already evaluates the full SG mixture per direction
+# in VMEM; at inference the decoded envmap is ALSO a product
+# (testReal.py:626-644 writes it), so the serving path would otherwise
+# launch sg_envmap a second time and re-do the K x D exp chain.
+# Forward-only (inference never differentiates) — training keeps the
+# custom-VJP render_sg/sg_envmap pair.
+# ---------------------------------------------------------------------------
+
+
+def _fwd_env5_kernel(consts, alb, nrm, rgh, ax, lam, wgt_in, v,
+                     dif, spc, er, eg, eb, *, f0):
+    d, s, r, g, b = _shade_tile_math(
+        alb[:], nrm[:], rgh[:], ax[:], lam[:], wgt_in[:], v[:], consts[:],
+        f0, with_env=True,
+    )
+    dif[:] = d
+    spc[:] = s
+    er[:] = r
+    eg[:] = g
+    eb[:] = b
+
+
+def render_sg_env(
+    albedo: jnp.ndarray,
+    normal: jnp.ndarray,
+    rough: jnp.ndarray,
+    axis: jnp.ndarray,
+    lamb: jnp.ndarray,
+    weight: jnp.ndarray,
+    fov_deg: float = 57.0,
+    f0: float = 0.05,
+    env_height: int = 8,
+    env_width: int = 16,
+    interpret: bool = False,
+):
+    """Fused SG decode + shading + envmap output, NHWC API (serving).
+
+    Same contracts as ``render_sg`` (incl. the |normal| <= 1
+    precondition); additionally returns the decoded envmap
+    [B,H,W,D,3] with ``sg_envmap`` semantics.  FORWARD-ONLY: no VJP is
+    defined (inference never differentiates; training uses the
+    custom-VJP ``render_sg`` + ``sg_envmap`` pair).
+    """
+    b, h, w = albedo.shape[:3]
+    n = b * h * w
+    k = lamb.shape[-1]
+    eh, ew = env_height, env_width
+    d = eh * ew
+    consts = jnp.asarray(pack_dir_consts(eh, ew), albedo.dtype)
+    v = jnp.broadcast_to(
+        jnp.asarray(view_dirs(h, w, fov_deg), albedo.dtype), (b, h, w, 3)
+    ).reshape(n, 3)
+    n_pad = ((n + TILE_P - 1) // TILE_P) * TILE_P
+    args = _transpose_pad(
+        [albedo.reshape(n, 3), normal.reshape(n, 3), rough.reshape(n, 1),
+         axis.reshape(n, k * 3), lamb.reshape(n, k),
+         weight.reshape(n, k * 3), v],
+        n_pad,
+    )
+    heights = [a.shape[0] for a in args]
+    grid = (n_pad // TILE_P,)
+    kernel = functools.partial(_fwd_env5_kernel, f0=float(f0))
+    dif, spc, er, eg, eb = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[_const_spec(d)] + _cm_specs(heights),
+        out_specs=tuple(_cm_specs([3, 3]) + _env_plane_specs(d, 3)),
+        out_shape=(
+            jax.ShapeDtypeStruct((3, n_pad), albedo.dtype),
+            jax.ShapeDtypeStruct((3, n_pad), albedo.dtype),
+        ) + tuple(
+            jax.ShapeDtypeStruct((d, n_pad), albedo.dtype) for _ in range(3)
+        ),
+        interpret=bool(interpret),
+        cost_estimate=pl.CostEstimate(
+            flops=n_pad * (k * 8 + 45) * d,
+            bytes_accessed=(sum(heights) + 3 * d + 6) * 4 * n_pad,
+            transcendentals=n_pad * (k + 2) * d,
+        ),
+    )(consts, *args)
+    env = jnp.stack(
+        [er[:, :n].T, eg[:, :n].T, eb[:, :n].T], axis=-1
+    ).reshape(b, h, w, d, 3)
+    return (dif[:, :n].T.reshape(b, h, w, 3),
+            spc[:, :n].T.reshape(b, h, w, 3), env)
 
 
 # ---------------------------------------------------------------------------

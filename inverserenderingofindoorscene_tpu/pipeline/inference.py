@@ -112,18 +112,17 @@ def predict_light_core(light_nets, lp, im, preds, im_small, fov,
             adaptive_avg_pool,
         )
         from inverserenderingofindoorscene_tpu.ops.sg_render import (
-            render_sg,
-            sg_envmap,
+            render_sg_env,
         )
 
         interp = jax.default_backend() != "tpu"
         lamb = sg.unsquash(lamb01)
         weight = sg.unsquash(weight01)
-        env_img = sg_envmap(
-            axis, lamb, weight,
-            light_nets.env_height, light_nets.env_width, interpret=interp,
-        )
-        diffuse, specular = render_sg(
+        # ONE fused kernel: decode + shade + envmap product — the SG
+        # mixture is evaluated once (the train path launches the
+        # custom-VJP render_sg/sg_envmap pair instead, which re-does it,
+        # because it needs gradients)
+        diffuse, specular, env_img = render_sg_env(
             adaptive_avg_pool(preds["albedo"], (eh, ew)),
             adaptive_avg_pool(preds["normal"], (eh, ew)),
             adaptive_avg_pool(preds["rough"], (eh, ew)),

@@ -47,6 +47,7 @@ def main():
     from inverserenderingofindoorscene_tpu.core.render_layer import RenderLayer
     from inverserenderingofindoorscene_tpu.ops.sg_render import (
         render_sg,
+        render_sg_env,
         sg_envmap,
     )
 
@@ -87,6 +88,15 @@ def main():
         return env, d, s
 
     @jax.jit
+    def pallas_fused(axis, lamb01, w01, albedo, normal, rough):
+        lamb = sg.unsquash(lamb01)
+        weight = sg.unsquash(w01)
+        d, s, env = render_sg_env(albedo, normal, rough, axis, lamb,
+                                  weight, env_height=8, env_width=16,
+                                  interpret=False)
+        return env, d, s
+
+    @jax.jit
     def env_only(axis, lamb01, w01, albedo, normal, rough):
         lamb = sg.unsquash(lamb01)
         weight = sg.unsquash(w01)
@@ -113,6 +123,7 @@ def main():
     cands = [
         ("jnp full (decode+render)", jnp_path, args),
         ("pallas2 (sg_envmap + render_sg)", pallas2, args),
+        ("pallas fused (render_sg_env)", pallas_fused, args),
         ("pallas sg_envmap only", env_only, args),
         ("pallas render_sg only", render_only, args),
         ("jnp decode only", jnp_env_only, args),

@@ -120,3 +120,27 @@ def test_envmap_kernel_matches_jnp():
             np.asarray(b) / scale, np.asarray(a) / scale, atol=2e-3,
             err_msg=nm,
         )
+
+
+def test_fused_serving_kernel_matches_pair():
+    """render_sg_env (one serving kernel) == render_sg + sg_envmap
+    exactly: same tile math, the env planes are just written out."""
+    from inverserenderingofindoorscene_tpu.ops.sg_render import (
+        render_sg_env,
+        sg_envmap,
+    )
+
+    args = make_inputs(b=1, h=10, w=13)  # non-aligned: padding exercised
+    d0, s0 = render_sg(*args, interpret=True)
+    e0 = sg_envmap(*args[3:], interpret=True)
+    d1, s1, e1 = render_sg_env(*args, interpret=True)
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d0))
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s0))
+    np.testing.assert_array_equal(np.asarray(e1), np.asarray(e0))
+    # and against the pure-jnp oracle route
+    d2, s2 = jnp_ref(*args)
+    e2 = sg.sg_to_envmap(*args[3:])
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(e1), np.asarray(e2), rtol=2e-5,
+                               atol=1e-5)
