@@ -70,6 +70,13 @@ def main(argv=None):
     ap.add_argument("--bsBatch", type=int, default=2)
     ap.add_argument("--stages", nargs="+",
                     default=["brdf", "light", "bilateral"])
+    ap.add_argument("--cascade1", action="store_true",
+                    help="after the cascade-0 stages: export intermediates "
+                         "(output_brdf_light, both splits) and run the "
+                         "cascade-1 BRDF + light convergence legs — the "
+                         "full staged recipe (README.md:27-34)")
+    ap.add_argument("--brdf1Epochs", type=int, default=30)
+    ap.add_argument("--light1Epochs", type=int, default=10)
     ap.add_argument("--computeDtype", default="bfloat16")
     ap.add_argument("--platform", default=None, choices=[None, "cpu"],
                     help="force the cpu backend (the container's "
@@ -128,7 +135,8 @@ def main(argv=None):
     exp = {}
 
     def run_stage(name, train_main, bs, epochs, extra_train, eval_extra,
-                  eval_keys):
+                  eval_keys, stage=None):
+        stage = stage or name
         main_exp0 = osp.join(opt.out, f"{name}_main")
         if name in prior:
             log(f"[{name}] already recorded; skipping (resume)")
@@ -142,7 +150,7 @@ def main(argv=None):
         train_main(args(["--experiment", init_exp] + extra_train,
                         bs, 1, max_steps=0))
         m0 = test_synthetic.main(args(
-            ["--stage", name if name != "bilateral" else "bilateral",
+            ["--stage", stage,
              "--testRoot", osp.join(opt.out, f"test_{name}_init")]
             + eval_extra(init_exp), bs, 1))
         rec["init_test"] = {k: _scalar(m0[k]) for k in eval_keys}
@@ -155,7 +163,7 @@ def main(argv=None):
         rec["loss"] = curve_stats(main_exp)
         # 3) held-out eval of the trained nets
         m1 = test_synthetic.main(args(
-            ["--stage", name,
+            ["--stage", stage,
              "--testRoot", osp.join(opt.out, f"test_{name}_main")]
             + eval_extra(main_exp), bs, 1))
         rec["trained_test"] = {k: _scalar(m1[k]) for k in eval_keys}
@@ -195,6 +203,29 @@ def main(argv=None):
                   opt.bsEpochs, brdf_args,
                   lambda e: ["--bsExperiment", e] + brdf_args,
                   ["albedo_bs", "rough_bs", "depth_bs"])
+
+    if opt.cascade1 and "brdf" in exp and "light" in exp:
+        from inverserenderingofindoorscene_tpu.cli import output_brdf_light
+
+        handoff = ["--brdfExperiment", exp["brdf"],
+                   "--lightExperiment", exp["light"]]
+        if "brdf1" not in prior:
+            # cascade hand-off: write the six *_0.h5 intermediates next to
+            # the fixture files (skip-existing, outputBRDFLight.py:253-301)
+            for mode in ("TRAIN", "TEST"):
+                log(f"exporting cascade-0 intermediates ({mode}) ...")
+                output_brdf_light.main(
+                    args(["--mode", mode] + handoff, 2, 1))
+        c1 = ["--cascadeLevel", "1"]
+        run_stage("brdf1", train_brdf.main, opt.brdfBatch, opt.brdf1Epochs,
+                  dt + c1 + ["--previewEvery", "0"],
+                  lambda e: ["--brdfExperiment", e] + c1,
+                  ["albedo", "normal", "rough", "depth"], stage="brdf")
+        brdf1_args = ["--brdfExperiment", exp["brdf1"]]
+        run_stage("light1", train_light.main, opt.lightBatch,
+                  opt.light1Epochs, dt + c1 + brdf1_args,
+                  lambda e: ["--lightExperiment", e] + brdf1_args + c1,
+                  ["reconst", "render"], stage="light")
 
     with open(osp.join(opt.out, "summary.json"), "w") as f:
         json.dump(summary, f, indent=1)

@@ -196,6 +196,35 @@ def test_packed_cache_matches_direct_loader(dataset, tmp_path):
             it_c.close()
 
 
+def test_build_cache_cli(dataset, tmp_path):
+    """The cache-prebuild driver: builds both phases, is idempotent, and
+    the train CLIs' lazy path reuses the prebuilt shards."""
+    from inverserenderingofindoorscene_tpu.cli import build_cache
+    from inverserenderingofindoorscene_tpu.data.cache import (
+        CachedOpenRoomsDataset,
+    )
+    from inverserenderingofindoorscene_tpu.data.openrooms import (
+        OpenRoomsDataset,
+    )
+
+    cache = str(tmp_path / "cache")
+    argv = _args(dataset, ["--itemCache", cache, "--light"])
+    build_cache.main(argv)
+    dirs = set(os.listdir(cache))
+    # this fixture lists the same scene in train.txt and test.txt, so
+    # both phases share ONE shard dir (phase is deliberately not part of
+    # the signature: the exposure rule applies at read, from the stored
+    # pivot); disjoint real splits get one dir per phase
+    assert len(dirs) == 1
+    build_cache.main(argv)  # idempotent
+    assert set(os.listdir(cache)) == dirs
+    # the lazy path lands on one of the prebuilt shard dirs
+    ds = OpenRoomsDataset(dataset, im_hw=IM_HW, env_rc=ENV_RC,
+                          is_light=True, is_all_light=True)
+    cached = CachedOpenRoomsDataset(ds, cache)
+    assert osp.basename(cached.dir) in dirs
+
+
 def test_batch_iterator_process_mode_matches_thread(dataset):
     """The spawned process-pool prefetch (the train CLIs' default for
     BRDF-stage loaders) must yield the SAME batches as the thread/serial
