@@ -175,3 +175,55 @@ def write_openrooms_fixture(
     with open(marker, "w") as f:
         f.write(spec)
     return root
+
+
+def write_nyu_fixture(root: str, n_train: int = 24, n_test: int = 8,
+                      seed: int = 0, frame_hw=(480, 640)):
+    """NYU-format fixture (nyuDataLoader.py:27-173 on-disk layout:
+    images/ normals/ depths/(.tiff) segs/ + list files) with a LEARNABLE
+    image->geometry map: height-field normals shaded by a FIXED
+    directional light over smooth albedo, so a network can infer normals
+    from shading.  Used by the fine-tune convergence leg
+    (scripts/run_convergence.py --finetuneNYU)."""
+    import cv2
+
+    marker = osp.join(root, ".fixture")
+    spec = repr((n_train, n_test, seed, frame_hw, 1))
+    if osp.isfile(marker) and open(marker).read() == spec:
+        return root
+    h, w = frame_hw
+    for sub in ("images", "normals", "depths", "segs"):
+        os.makedirs(osp.join(root, sub), exist_ok=True)
+    light = np.array([0.3, 0.4, 1.0])
+    light /= np.linalg.norm(light)
+    names = []
+    for i in range(n_train + n_test):
+        rng = np.random.RandomState(seed * 77003 + i)
+        albedo = 0.15 + 0.8 * _smooth(rng, frame_hw, 3, cell=48)
+        height = _smooth(rng, frame_hw, 1, cell=64)[:, :, 0]
+        gy, gx = np.gradient(height * rng.uniform(60, 120))
+        normal = np.stack([gx, gy, np.ones_like(gx)], -1)
+        normal /= np.linalg.norm(normal, axis=-1, keepdims=True)
+        depth = 1.5 + 6.0 * _smooth(rng, frame_hw, 1, cell=64)[:, :, 0]
+        ndl = np.clip(normal @ light, 0.0, 1.0)
+        im_lin = np.clip(albedo * (0.15 + 0.85 * ndl[..., None]), 0, 1)
+
+        name = "frame%04d.png" % i
+        names.append(name)
+        im8 = (im_lin ** (1.0 / 2.2) * 255.0).astype(np.uint8)
+        assert cv2.imwrite(osp.join(root, "images", name), im8[:, :, ::-1])
+        n8 = ((0.5 * (normal + 1.0)) * 255.0).astype(np.uint8)
+        assert cv2.imwrite(osp.join(root, "normals", name), n8[:, :, ::-1])
+        assert cv2.imwrite(osp.join(root, "segs", name),
+                           np.full((h, w, 3), 255, np.uint8))
+        assert cv2.imwrite(
+            osp.join(root, "depths", name.replace(".png", ".tiff")),
+            depth.astype(np.float32),
+        )
+    with open(osp.join(root, "NYUTrain.txt"), "w") as f:
+        f.write("\n".join(names[:n_train]) + "\n")
+    with open(osp.join(root, "NYUTest.txt"), "w") as f:
+        f.write("\n".join(names[n_train:]) + "\n")
+    with open(marker, "w") as f:
+        f.write(spec)
+    return root

@@ -53,6 +53,102 @@ def curve_stats(exp, key="total"):
     }
 
 
+def _finetune_nyu_leg(opt, args, exp, prior, summary):
+    """Fine-tune on the NYU fixture from the cascade-0 BRDF and compare
+    held-out geometry metrics before/after (trainFineTuneNYU.py flow;
+    eval = CompareNormal.py/CompareDepth.py metrics over the TEST list)."""
+    import jax
+
+    from inverserenderingofindoorscene_tpu.cli import train_finetune_nyu
+    from inverserenderingofindoorscene_tpu.data.fixture import (
+        write_nyu_fixture,
+    )
+    from inverserenderingofindoorscene_tpu.data.nyu import NYUDataset
+    from inverserenderingofindoorscene_tpu.eval.metrics import (
+        normal_angle_error,
+        si_log_depth_rmse,
+    )
+    from inverserenderingofindoorscene_tpu.pipeline.brdf import (
+        BRDFNets,
+        brdf_forward,
+    )
+    from inverserenderingofindoorscene_tpu.train.steps import (
+        create_train_state,
+        reference_adam,
+    )
+    from inverserenderingofindoorscene_tpu.utils import checkpoint as ckpt
+
+    if "finetune_nyu" in prior:
+        log("[finetune_nyu] already recorded; skipping (resume)")
+        summary["stages"]["finetune_nyu"] = prior["finetune_nyu"]
+        return
+
+    nyu_root = osp.join(opt.out, "nyu_fixture")
+    write_nyu_fixture(nyu_root)
+    nyu_args = [
+        "--nyuImRoot", osp.join(nyu_root, "images"),
+        "--nyuNormalRoot", osp.join(nyu_root, "normals"),
+        "--nyuDepthRoot", osp.join(nyu_root, "depths"),
+        "--nyuSegRoot", osp.join(nyu_root, "segs"),
+        "--nyuList", osp.join(nyu_root, "NYUTrain.txt"),
+        "--brdfExperiment", exp["brdf"],
+    ]
+
+    def eval_geometry(exp_dir, stage):
+        nets = BRDFNets(cascade_level=0)
+        params = nets.init(jax.random.PRNGKey(opt_seed()),
+                           (opt.imHeight, opt.imWidth))
+        epoch = ckpt.latest_epoch(exp_dir, stage, 0)
+        assert epoch is not None, (exp_dir, stage)
+        state = create_train_state(params, reference_adam(1e-4))
+        state = ckpt.restore_checkpoint(exp_dir, stage, 0, epoch, state)
+        fwd = jax.jit(lambda b: brdf_forward(nets, state.params, b))
+        ds = NYUDataset(
+            osp.join(nyu_root, "images"), osp.join(nyu_root, "normals"),
+            osp.join(nyu_root, "depths"), osp.join(nyu_root, "segs"),
+            osp.join(nyu_root, "NYUTest.txt"),
+            im_hw=(opt.imHeight, opt.imWidth), phase="TEST",
+        )
+        angs, rmses = [], []
+        for i in range(len(ds)):
+            item = ds[i]
+            batch = {"im": np.asarray(item["im"])[None]}
+            preds = fwd(batch)
+            npred = np.asarray(preds["normal"][0], np.float64)
+            mean_deg, _ = normal_angle_error(
+                npred, item["normal"], item["seg_normal"][:, :, 0]
+            )
+            angs.append(mean_deg)
+            # NYU depth is recovered up to scale: median-align like the
+            # si-log metric's mean subtraction handles the offset
+            dpred = np.asarray(preds["depth"][0, :, :, 0], np.float64)
+            rmses.append(si_log_depth_rmse(dpred, item["depth"][:, :, 0]))
+        return {"normal_mean_deg": float(np.mean(angs)),
+                "si_log_depth_rmse": float(np.mean(rmses))}
+
+    def opt_seed():
+        return opt.seed if hasattr(opt, "seed") else 0
+
+    rec = {"init_test": eval_geometry(exp["brdf"], "brdf")}
+    t1 = time.time()
+    nyu_exp = osp.join(opt.out, "finetune_nyu_main")
+    train_finetune_nyu.main(
+        args(["--experiment", nyu_exp] + nyu_args, opt.nyuBatch,
+             opt.nyuEpochs)
+    )
+    rec["train_s"] = round(time.time() - t1, 1)
+    rec["loss"] = curve_stats(nyu_exp, key="nyu_total")
+    rec["trained_test"] = eval_geometry(nyu_exp, "nyu")
+    rec["test_improvement"] = {
+        k: round(rec["init_test"][k] / max(rec["trained_test"][k], 1e-12), 2)
+        for k in rec["init_test"]
+    }
+    summary["stages"]["finetune_nyu"] = rec
+    log(f"[finetune_nyu] loss {rec['loss']} | init {rec['init_test']} | "
+        f"trained {rec['trained_test']} | x-better {rec['test_improvement']}"
+        f" | {rec['train_s']}s")
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/irois_conv")
@@ -77,6 +173,14 @@ def main(argv=None):
                          "full staged recipe (README.md:27-34)")
     ap.add_argument("--brdf1Epochs", type=int, default=30)
     ap.add_argument("--light1Epochs", type=int, default=10)
+    ap.add_argument("--finetuneNYU", action="store_true",
+                    help="after the cascade-0 BRDF: fine-tune on a "
+                         "generated NYU-format fixture (alternating "
+                         "synthetic/NYU batches, trainFineTuneNYU.py) and "
+                         "record held-out normal-angle / si-log-depth "
+                         "improvement over the un-finetuned BRDF")
+    ap.add_argument("--nyuEpochs", type=int, default=8)
+    ap.add_argument("--nyuBatch", type=int, default=4)
     ap.add_argument("--computeDtype", default="bfloat16")
     ap.add_argument("--platform", default=None, choices=[None, "cpu"],
                     help="force the cpu backend (the container's "
@@ -227,12 +331,16 @@ def main(argv=None):
                   lambda e: ["--lightExperiment", e] + brdf1_args + c1,
                   ["reconst", "render"], stage="light")
 
+    if opt.finetuneNYU and "brdf" in exp:
+        _finetune_nyu_leg(opt, args, exp, prior, summary)
+
     with open(osp.join(opt.out, "summary.json"), "w") as f:
         json.dump(summary, f, indent=1)
     log("\n| stage | steps | loss first->last (ratio) | test init -> trained |")
     log("|---|---|---|---|")
     for name, rec in summary["stages"].items():
-        c = rec["loss"]
+        c = rec["loss"] or {"steps": 0, "first": float("nan"),
+                            "last": float("nan"), "ratio": float("nan")}
         tt = ", ".join(
             f"{k} {rec['init_test'][k]:.4g}->{rec['trained_test'][k]:.4g}"
             for k in rec["trained_test"])
