@@ -177,6 +177,75 @@ def write_openrooms_fixture(
     return root
 
 
+def write_iiw_fixture(root: str, n_train: int = 24, n_test: int = 8,
+                      seed: int = 0, frame_hw=(480, 640), n_pairs: int = 80):
+    """IIW-format fixture (iiwDataLoader.py:25-232 on-disk layout:
+    per-image .png + .json judgements + list files) with LEARNABLE
+    reflectance: smooth albedo under a fixed directional light
+    (image = albedo * shading, gamma-encoded), and point-pair judgements
+    derived from the GT albedo luminance with the WHDR delta=0.1 ratio
+    rule (CompareWHDR.py:49-54) — the ranking supervision is consistent,
+    so a network that learns reflectance lowers WHDR.  frame_hw keeps the
+    network's 3:4 aspect so the loader's aspect-preserving resize needs
+    no crop and judgement coordinates survive exactly.  Used by the IIW
+    fine-tune convergence leg (scripts/run_convergence.py --finetuneIIW)."""
+    import json as _json
+
+    import cv2
+
+    marker = osp.join(root, ".fixture")
+    spec = repr((n_train, n_test, seed, frame_hw, n_pairs, 1))
+    if osp.isfile(marker) and open(marker).read() == spec:
+        return root
+    h, w = frame_hw
+    os.makedirs(root, exist_ok=True)
+    light = np.array([0.35, 0.3, 1.0])
+    light /= np.linalg.norm(light)
+    names = []
+    for i in range(n_train + n_test):
+        rng = np.random.RandomState(seed * 91003 + i)
+        albedo = 0.1 + 0.85 * _smooth(rng, frame_hw, 3, cell=48)
+        height = _smooth(rng, frame_hw, 1, cell=64)[:, :, 0]
+        gy, gx = np.gradient(height * rng.uniform(60, 120))
+        normal = np.stack([gx, gy, np.ones_like(gx)], -1)
+        normal /= np.linalg.norm(normal, axis=-1, keepdims=True)
+        ndl = np.clip(normal @ light, 0.0, 1.0)
+        im_lin = np.clip(albedo * (0.2 + 0.8 * ndl[..., None]), 0, 1)
+
+        name = "iiw%04d.png" % i
+        names.append(name)
+        im8 = (im_lin ** (1.0 / 2.2) * 255.0).astype(np.uint8)
+        assert cv2.imwrite(osp.join(root, name), im8[:, :, ::-1])
+
+        # point-pair judgements from the TRUE reflectance, classified
+        # exactly like the WHDR metric (delta=0.1 luminance-ratio rule)
+        pts, cmps = [], []
+        for k in range(n_pairs):
+            y1, x1, y2, x2 = rng.uniform(0.03, 0.97, 4)
+            l1 = float(albedo[int(y1 * h), int(x1 * w)].mean())
+            l2 = float(albedo[int(y2 * h), int(x2 * w)].mean())
+            if l2 / l1 > 1.1:
+                darker = "1"
+            elif l1 / l2 > 1.1:
+                darker = "2"
+            else:
+                darker = "E"
+            pts += [{"id": 2 * k + 1, "x": x1, "y": y1, "opaque": True},
+                    {"id": 2 * k + 2, "x": x2, "y": y2, "opaque": True}]
+            cmps.append({"point1": 2 * k + 1, "point2": 2 * k + 2,
+                         "darker": darker, "darker_score": 1.0})
+        with open(osp.join(root, name.replace(".png", ".json")), "w") as f:
+            _json.dump({"intrinsic_points": pts,
+                        "intrinsic_comparisons": cmps}, f)
+    with open(osp.join(root, "IIWTrain.txt"), "w") as f:
+        f.write("\n".join(names[:n_train]) + "\n")
+    with open(osp.join(root, "IIWTest.txt"), "w") as f:
+        f.write("\n".join(names[n_train:]) + "\n")
+    with open(marker, "w") as f:
+        f.write(spec)
+    return root
+
+
 def write_nyu_fixture(root: str, n_train: int = 24, n_test: int = 8,
                       seed: int = 0, frame_hw=(480, 640)):
     """NYU-format fixture (nyuDataLoader.py:27-173 on-disk layout:

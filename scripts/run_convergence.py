@@ -149,6 +149,90 @@ def _finetune_nyu_leg(opt, args, exp, prior, summary):
         f" | {rec['train_s']}s")
 
 
+def _finetune_iiw_leg(opt, args, exp, prior, summary):
+    """Fine-tune on the IIW fixture from the cascade-0 BRDF (alternating
+    synthetic/IIW ranking-loss batches, trainFineTuneIIW.py:147-263 flow)
+    and compare held-out WHDR (CompareWHDR.py:8-66, delta=0.1) over the
+    TEST list before/after."""
+    import jax
+
+    from inverserenderingofindoorscene_tpu.cli import train_finetune_iiw
+    from inverserenderingofindoorscene_tpu.data.fixture import (
+        write_iiw_fixture,
+    )
+    from inverserenderingofindoorscene_tpu.eval.metrics import compute_whdr
+    from inverserenderingofindoorscene_tpu.pipeline.brdf import (
+        BRDFNets,
+        brdf_forward,
+    )
+    from inverserenderingofindoorscene_tpu.train.steps import (
+        create_train_state,
+        reference_adam,
+    )
+    from inverserenderingofindoorscene_tpu.utils import checkpoint as ckpt
+
+    if "finetune_iiw" in prior:
+        log("[finetune_iiw] already recorded; skipping (resume)")
+        summary["stages"]["finetune_iiw"] = prior["finetune_iiw"]
+        return
+
+    iiw_root = osp.join(opt.out, "iiw_fixture")
+    # 4*(H, W) keeps the network's aspect: the loader's aspect-preserving
+    # resize then needs no crop, so judgement coordinates survive exactly
+    write_iiw_fixture(iiw_root, frame_hw=(4 * opt.imHeight, 4 * opt.imWidth))
+    iiw_args = [
+        "--iiwRoot", iiw_root,
+        "--iiwList", osp.join(iiw_root, "IIWTrain.txt"),
+        "--brdfExperiment", exp["brdf"],
+    ]
+
+    def eval_whdr(exp_dir, stage):
+        from PIL import Image
+
+        nets = BRDFNets(cascade_level=0)
+        params = nets.init(jax.random.PRNGKey(opt.seed if hasattr(
+            opt, "seed") else 0), (opt.imHeight, opt.imWidth))
+        epoch = ckpt.latest_epoch(exp_dir, stage, 0)
+        assert epoch is not None, (exp_dir, stage)
+        state = create_train_state(params, reference_adam(1e-4))
+        state = ckpt.restore_checkpoint(exp_dir, stage, 0, epoch, state)
+        fwd = jax.jit(lambda b: brdf_forward(nets, state.params, b))
+        with open(osp.join(iiw_root, "IIWTest.txt")) as f:
+            names = [x.strip() for x in f if x.strip()]
+        whdrs = []
+        for name in names:
+            im = Image.open(osp.join(iiw_root, name)).resize(
+                [opt.imWidth, opt.imHeight], Image.LANCZOS)
+            im = (np.asarray(im, np.float32) / 255.0) ** 2.2
+            im = im / im.max()  # the loader's normalization (iiw.py)
+            preds = fwd({"im": im[None]})
+            refl = 0.5 * (np.asarray(preds["albedo"][0], np.float64) + 1.0)
+            with open(osp.join(iiw_root,
+                               name.replace(".png", ".json"))) as f:
+                res = compute_whdr(refl, json.load(f))
+            whdrs.append(res[0])
+        return {"whdr": float(np.mean(whdrs))}
+
+    rec = {"init_test": eval_whdr(exp["brdf"], "brdf")}
+    t1 = time.time()
+    iiw_exp = osp.join(opt.out, "finetune_iiw_main")
+    train_finetune_iiw.main(
+        args(["--experiment", iiw_exp] + iiw_args, opt.iiwBatch,
+             opt.iiwEpochs)
+    )
+    rec["train_s"] = round(time.time() - t1, 1)
+    rec["loss"] = curve_stats(iiw_exp, key="iiw_total")
+    rec["trained_test"] = eval_whdr(iiw_exp, "iiw")
+    rec["test_improvement"] = {
+        k: round(rec["init_test"][k] / max(rec["trained_test"][k], 1e-12), 2)
+        for k in rec["init_test"]
+    }
+    summary["stages"]["finetune_iiw"] = rec
+    log(f"[finetune_iiw] loss {rec['loss']} | init {rec['init_test']} | "
+        f"trained {rec['trained_test']} | x-better {rec['test_improvement']}"
+        f" | {rec['train_s']}s")
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/irois_conv")
@@ -181,6 +265,14 @@ def main(argv=None):
                          "improvement over the un-finetuned BRDF")
     ap.add_argument("--nyuEpochs", type=int, default=8)
     ap.add_argument("--nyuBatch", type=int, default=4)
+    ap.add_argument("--finetuneIIW", action="store_true",
+                    help="after the cascade-0 BRDF: fine-tune on a "
+                         "generated IIW-format fixture (alternating "
+                         "synthetic/ranking-loss batches, "
+                         "trainFineTuneIIW.py) and record held-out WHDR "
+                         "improvement over the un-finetuned BRDF")
+    ap.add_argument("--iiwEpochs", type=int, default=8)
+    ap.add_argument("--iiwBatch", type=int, default=4)
     ap.add_argument("--computeDtype", default="bfloat16")
     ap.add_argument("--platform", default=None, choices=[None, "cpu"],
                     help="force the cpu backend (the container's "
@@ -238,6 +330,12 @@ def main(argv=None):
     summary = {"config": vars(opt), "stages": {}}
     exp = {}
 
+    def dump_summary():
+        # persisted after EVERY stage so a wedged-tunnel kill + rerun
+        # resumes at stage granularity, not from scratch
+        with open(sj, "w") as f:
+            json.dump(summary, f, indent=1)
+
     def run_stage(name, train_main, bs, epochs, extra_train, eval_extra,
                   eval_keys, stage=None):
         stage = stage or name
@@ -278,6 +376,7 @@ def main(argv=None):
         }
         exp[name] = main_exp
         summary["stages"][name] = rec
+        dump_summary()
         log(f"[{name}] loss {rec['loss']} | init {rec['init_test']} | "
             f"trained {rec['trained_test']} | x-better "
             f"{rec['test_improvement']} | {rec['train_s']}s")
@@ -333,9 +432,12 @@ def main(argv=None):
 
     if opt.finetuneNYU and "brdf" in exp:
         _finetune_nyu_leg(opt, args, exp, prior, summary)
+        dump_summary()
+    if opt.finetuneIIW and "brdf" in exp:
+        _finetune_iiw_leg(opt, args, exp, prior, summary)
+        dump_summary()
 
-    with open(osp.join(opt.out, "summary.json"), "w") as f:
-        json.dump(summary, f, indent=1)
+    dump_summary()
     log("\n| stage | steps | loss first->last (ratio) | test init -> trained |")
     log("|---|---|---|---|")
     for name, rec in summary["stages"].items():

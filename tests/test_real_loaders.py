@@ -145,3 +145,35 @@ def test_nyu_loader(nyu_root):
     a = ds_test[0]["im"]
     b = ds_test[0]["im"]
     np.testing.assert_array_equal(a, b)
+
+
+def test_iiw_fixture_format(tmp_path):
+    """write_iiw_fixture emits the IIW on-disk layout
+    (iiwDataLoader.py:25-232): loadable through IIWDataset with live
+    point pairs, and its judgements obey the WHDR delta=0.1 rule
+    against the image's own GT-consistent reflectance ordering."""
+    import json as _json
+
+    pytest.importorskip("cv2")
+    from inverserenderingofindoorscene_tpu.data.fixture import (
+        write_iiw_fixture,
+    )
+
+    root = str(tmp_path / "iiw")
+    write_iiw_fixture(root, n_train=2, n_test=1, frame_hw=(96, 128),
+                      n_pairs=20)
+    # idempotent (marker)
+    write_iiw_fixture(root, n_train=2, n_test=1, frame_hw=(96, 128),
+                      n_pairs=20)
+    names = open(os.path.join(root, "IIWTrain.txt")).read().split()
+    assert len(names) == 2
+    ds = IIWDataset(root, os.path.join(root, "IIWTrain.txt"),
+                    im_hw=(48, 64), max_num=30, seed=0)
+    item = ds[0]
+    assert item["im"].shape == (48, 64, 3)
+    # all 20 pairs are opaque with weight 1: dummy row + survivors
+    assert int(item["eq_num"]) + int(item["darker_num"]) == 22
+    with open(os.path.join(root, names[0].replace(".png", ".json"))) as f:
+        j = _json.load(f)
+    assert len(j["intrinsic_comparisons"]) == 20
+    assert {c["darker"] for c in j["intrinsic_comparisons"]} <= {"1", "2", "E"}
