@@ -67,6 +67,16 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                         "(restores mid-epoch data position + LR "
                         "schedule); 'epoch': latest epoch checkpoint; "
                         "'none': fresh start")
+    p.add_argument("--logFlushSteps", type=int, default=16,
+                   help="steps of metrics batched per device->host pull "
+                        "(MetricLogger.log_device): the per-step lines "
+                        "and .npy curves are identical, but the wire "
+                        "pays ONE [N, K] transfer per N steps instead "
+                        "of K blocking scalar pulls per step — on a "
+                        "degraded host link a per-step pull can cost "
+                        "more than the train step itself "
+                        "(scripts/bench_fed_step.py).  1 = the "
+                        "reference's per-iteration cadence")
     return p
 
 

@@ -162,7 +162,8 @@ def main(argv=None):
             bs_nets = BilateralNets(v_max=int(opt.vMax))
         step_fn = jit_step(bs_nets)
 
-    logger = MetricLogger(f"{exp}/trainingLog.txt")
+    logger = MetricLogger(f"{exp}/trainingLog.txt",
+                          flush_steps=opt.logFlushSteps)
     for epoch in range(start_epoch, opt.nepoch):
         for j, np_batch in enumerate(loader):
             if opt.maxSteps is not None and j >= opt.maxSteps:
@@ -171,7 +172,7 @@ def main(argv=None):
                 continue  # mid-epoch resume: replay position, not steps
             batch = common.stage_batch(np_batch)
             state, metrics = step_fn(state, batch)
-            logger.log(epoch, j, {k: float(v) for k, v in metrics.items()})
+            logger.log_device(epoch, j, metrics)
             common.maybe_save_step_checkpoint(
                 opt, exp, "bs", opt.cascadeLevel, state, epoch, j
             )

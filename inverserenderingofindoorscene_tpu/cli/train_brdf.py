@@ -71,7 +71,8 @@ def main(argv=None):
     # hoisted: one compiled preview forward, reused every dump
     preview_fn = jax.jit(lambda p, b: brdf_forward(nets, p, b))
 
-    logger = MetricLogger(f"{exp}/trainingLog.txt")
+    logger = MetricLogger(f"{exp}/trainingLog.txt",
+                          flush_steps=opt.logFlushSteps)
     for epoch in range(start_epoch, opt.nepoch):
         for j, np_batch in enumerate(loader):
             if opt.maxSteps is not None and j >= opt.maxSteps:
@@ -80,7 +81,7 @@ def main(argv=None):
                 continue  # mid-epoch resume: replay position, not steps
             batch = common.stage_batch(np_batch)
             state, metrics = step_fn(state, batch)
-            logger.log(epoch, j, {k: float(v) for k, v in metrics.items()})
+            logger.log_device(epoch, j, metrics)
             common.maybe_save_step_checkpoint(
                 opt, exp, "brdf", opt.cascadeLevel, state, epoch, j
             )

@@ -82,7 +82,8 @@ def main(argv=None):
         opt, exp, "iiw", opt.cascadeLevel, state
     )
 
-    logger = MetricLogger(f"{exp}/trainingLog.txt")
+    logger = MetricLogger(f"{exp}/trainingLog.txt",
+                          flush_steps=opt.logFlushSteps)
     for epoch in range(start_epoch, opt.nepoch):
         pairs, _ = common.zip_max_cycle(syn_loader, iiw_loader)
         for j, (syn_np, iiw_np) in enumerate(pairs):
@@ -95,10 +96,10 @@ def main(argv=None):
             if synth is not None:
                 iiw_batch = synth(iiw_batch)
             state, m2 = iiw_step_fn(state, iiw_batch)
-            logger.log(
+            logger.log_device(
                 epoch, j,
-                {**{f"syn_{k}": float(v) for k, v in m1.items()},
-                 **{f"iiw_{k}": float(v) for k, v in m2.items()}},
+                {**{f"syn_{k}": v for k, v in m1.items()},
+                 **{f"iiw_{k}": v for k, v in m2.items()}},
             )
             common.maybe_save_step_checkpoint(
                 opt, exp, "iiw", opt.cascadeLevel, state, epoch, j

@@ -88,7 +88,8 @@ def main(argv=None):
         opt, exp, "nyu", opt.cascadeLevel, state
     )
 
-    logger = MetricLogger(f"{exp}/trainingLog.txt")
+    logger = MetricLogger(f"{exp}/trainingLog.txt",
+                          flush_steps=opt.logFlushSteps)
     for epoch in range(start_epoch, opt.nepoch):
         pairs, _ = common.zip_max_cycle(syn_loader, nyu_loader)
         for j, (syn_np, nyu_np) in enumerate(pairs):
@@ -101,10 +102,10 @@ def main(argv=None):
             if synth is not None:
                 nyu_batch = synth(nyu_batch)
             state, m2 = nyu_step_fn(state, nyu_batch)
-            logger.log(
+            logger.log_device(
                 epoch, j,
-                {**{f"syn_{k}": float(v) for k, v in m1.items()},
-                 **{f"nyu_{k}": float(v) for k, v in m2.items()}},
+                {**{f"syn_{k}": v for k, v in m1.items()},
+                 **{f"nyu_{k}": v for k, v in m2.items()}},
             )
             common.maybe_save_step_checkpoint(
                 opt, exp, "nyu", opt.cascadeLevel, state, epoch, j

@@ -101,7 +101,8 @@ def main(argv=None):
         donate_argnums=(0,),
     )
 
-    logger = MetricLogger(f"{exp}/trainingLog.txt")
+    logger = MetricLogger(f"{exp}/trainingLog.txt",
+                          flush_steps=opt.logFlushSteps)
     for epoch in range(start_epoch, opt.nepoch):
         for j, np_batch in enumerate(loader):
             if opt.maxSteps is not None and j >= opt.maxSteps:
@@ -110,7 +111,7 @@ def main(argv=None):
                 continue  # mid-epoch resume: replay position, not steps
             batch = common.stage_batch(np_batch)
             state, metrics = step_fn(state, batch)
-            logger.log(epoch, j, {k: float(v) for k, v in metrics.items()})
+            logger.log_device(epoch, j, metrics)
             common.maybe_save_step_checkpoint(
                 opt, exp, "light", opt.cascadeLevel, state, epoch, j
             )

@@ -6,16 +6,16 @@ steps on the chip consuming batches from the cached loader, wall-clock
 ms/step over an epoch, against the chip-only step time (same jit
 program, one staged batch re-fed).  Feeding efficiency = chip_only/fed.
 
-Also A/Bs the metric-logging sync policy: the train CLIs' per-step
-``float(metrics)`` blocks the host until the step finishes, which
-serializes dispatch on this tunnel (~1-16 ms/dispatch); `deferred` keeps
-metrics as device scalars and converts every --flushEvery steps, letting
-JAX's async dispatch pipeline steps (the reference prints per-iteration
-too, trainBRDF.py:297-331 — parity is a flush policy, not a loss of
-logging).
+Also A/Bs the metric-logging pull policy: per-step per-metric
+``float()`` (the reference's per-iteration cadence,
+trainBRDF.py:297-331) pays len(metrics) blocking D2H pulls per step —
+catastrophic when the host link degrades (~0.3 s/pull windows observed
+on this tunnel); the CLIs' MetricLogger.log_device default stacks each
+step's metrics into one device vector and pulls ONE [N, K] array per
+--flushEvery steps, with identical logged content.
 
 Usage: python scripts/bench_fed_step.py [--stage brdf light] \
-    [--steps 40] [--root /tmp/irois_loader_bench] [--images 48]
+    [--rounds 3] [--root /tmp/irois_loader_bench] [--images 48]
 """
 
 import argparse
@@ -86,70 +86,124 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--root", default="/tmp/irois_loader_bench")
     ap.add_argument("--images", type=int, default=48)
-    ap.add_argument("--steps", type=int, default=40)
     ap.add_argument("--workers", type=int, default=4)
     ap.add_argument("--flushEvery", type=int, default=20)
+    ap.add_argument("--rounds", type=int, default=3)
     ap.add_argument("--stage", nargs="+", default=["brdf", "light"])
     opt = ap.parse_args()
 
     generate(opt.root, opt.images)
+
+    # tunnel health: per-dispatch latency of a trivial jit program.  The
+    # axon tunnel drifts (~1 ms healthy, ~16 ms degraded — BASELINE.md);
+    # all phases below run interleaved in THIS process so a drift mid-run
+    # shows up as round-to-round spread, not a silent bias.
+    import jax.numpy as jnp
+
+    tiny = jax.jit(lambda x: x + 1.0)
+    x = tiny(jnp.zeros(8))
+    t0 = time.perf_counter()
+    for _ in range(20):
+        x = tiny(x)
+    jax.block_until_ready(x)
+    disp_ms = (time.perf_counter() - t0) / 20 * 1e3
+    # D2H scalar-pull latency: the cost of ONE float(metric).  Observed
+    # 1-2 ms healthy and ~300 ms in degraded tunnel windows — the
+    # degraded state is what makes per-step metric pulls dominate.
+    t0 = time.perf_counter()
+    for _ in range(5):
+        _ = float(x[0])
+    pull_ms = (time.perf_counter() - t0) / 5 * 1e3
+    log(f"dispatch latency {disp_ms:.2f} ms | D2H scalar pull "
+        f"{pull_ms:.2f} ms"
+        + (" (DEGRADED tunnel — fed numbers are upper bounds)"
+           if disp_ms > 5 or pull_ms > 20 else ""))
+
     results = {}
     for stage in opt.stage:
         it, step_fn, state = _setup(stage, opt.root,
                                     osp.join(opt.root, "cache"), opt.workers)
 
-        # warmup: compile + first batches
-        batches = iter(it)
-        b = stage_batch(next(batches))
-        for _ in range(3):
-            state, metrics = step_fn(state, b)
+        # warmup epoch: compiles the step, faults the cache pages, and
+        # leaves NO live partially-consumed iterator behind (a second
+        # concurrent iterator would contend on the loader's buffer pool)
+        b_rep = None
+        for np_batch in it:
+            b_rep = stage_batch(np_batch)
+            state, metrics = step_fn(state, b_rep)
         jax.block_until_ready(metrics)
 
-        # chip-only floor: same staged batch re-fed, no logging sync
-        t0 = time.perf_counter()
-        for _ in range(opt.steps):
-            state, metrics = step_fn(state, b)
-        jax.block_until_ready(metrics)
-        chip_ms = (time.perf_counter() - t0) / opt.steps * 1e3
-
-        def run(sync, steps=opt.steps):
+        def chip_only(k=10):
             nonlocal state
-            n = 0
-            pend = []
-            metrics = None
             t0 = time.perf_counter()
-            while n < steps:  # epochs of the fed stream until enough steps
-                for np_batch in it:
-                    b = stage_batch(np_batch)
-                    state, metrics = step_fn(state, b)
-                    if sync:
-                        _ = {k: float(v) for k, v in metrics.items()}
-                    else:
-                        pend.append(metrics)
-                        if len(pend) >= opt.flushEvery:
-                            _ = jax.device_get(pend)
-                            pend = []
-                    n += 1
-                    if n >= steps:
-                        break
-            _ = jax.device_get(pend)
+            for _ in range(k):
+                state, m = step_fn(state, b_rep)
+            jax.block_until_ready(m)
+            return (time.perf_counter() - t0) / k * 1e3
+
+        def fed(sync):
+            """One fed epoch.  sync=True: per-metric float() pulls every
+            step (the CLIs' pre-r4 behavior, --logFlushSteps 1 cadence);
+            sync=False: the buffered MetricLogger.log_device policy now
+            default in the train CLIs (one stacked pull per flushEvery)."""
+            from inverserenderingofindoorscene_tpu.utils.logging import (
+                MetricLogger,
+            )
+
+            nonlocal state
+            logger = MetricLogger(flush_steps=opt.flushEvery)
+            logger.log = lambda e, s, m: logger.append(m)  # no printing
+            n = 0
+            t0 = time.perf_counter()
+            for np_batch in it:  # one full epoch from the cached loader
+                b = stage_batch(np_batch)
+                state, metrics = step_fn(state, b)
+                if sync is True:
+                    _ = {k: float(v) for k, v in metrics.items()}
+                elif sync is False:
+                    logger.log_device(0, n, metrics)
+                # sync=None: no logging at all — the pure fed floor
+                n += 1
+            logger.flush()
             jax.block_until_ready(metrics)
             return (time.perf_counter() - t0) / n * 1e3
 
-        fed_sync = run(sync=True)
-        fed_defer = run(sync=False)
+        # interleaved rounds (same-hour A/B rule): chip floor and both
+        # fed policies sampled alternately; report medians
+        chips, floors, syncs, defers = [], [], [], []
+        for _ in range(opt.rounds):
+            chips.append(chip_only())
+            floors.append(fed(sync=None))
+            syncs.append(fed(sync=True))
+            defers.append(fed(sync=False))
         it.close()
+
+        def med(v):
+            return sorted(v)[len(v) // 2]
+
+        chip_ms, fed_sync, fed_defer = med(chips), med(syncs), med(defers)
+        fed_floor = med(floors)
         results[stage] = {
+            "dispatch_ms": round(disp_ms, 2),
+            "d2h_pull_ms": round(pull_ms, 2),
             "chip_only_ms": round(chip_ms, 2),
+            "fed_nolog_ms": round(fed_floor, 2),
             "fed_sync_ms": round(fed_sync, 2),
-            "fed_deferred_ms": round(fed_defer, 2),
+            "fed_buffered_ms": round(fed_defer, 2),
+            "efficiency_nolog": round(chip_ms / fed_floor, 3),
             "efficiency_sync": round(chip_ms / fed_sync, 3),
-            "efficiency_deferred": round(chip_ms / fed_defer, 3),
+            "efficiency_buffered": round(chip_ms / fed_defer, 3),
+            "rounds": {"chip": [round(v, 1) for v in chips],
+                       "nolog": [round(v, 1) for v in floors],
+                       "sync": [round(v, 1) for v in syncs],
+                       "defer": [round(v, 1) for v in defers]},
         }
-        log(f"[{stage}] chip-only {chip_ms:.1f} ms/step | fed(sync-log) "
-            f"{fed_sync:.1f} | fed(deferred-log) {fed_defer:.1f} | "
-            f"efficiency {results[stage]['efficiency_sync']:.0%} / "
-            f"{results[stage]['efficiency_deferred']:.0%}")
+        log(f"[{stage}] chip-only {chip_ms:.1f} ms/step | fed no-log "
+            f"{fed_floor:.1f} | fed per-step-sync {fed_sync:.1f} | "
+            f"fed buffered-log {fed_defer:.1f} | efficiency "
+            f"{results[stage]['efficiency_nolog']:.0%} / "
+            f"{results[stage]['efficiency_sync']:.0%} / "
+            f"{results[stage]['efficiency_buffered']:.0%}")
     print(results)
 
 

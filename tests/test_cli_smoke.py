@@ -565,10 +565,13 @@ def test_preemption_resume_bitwise(dataset, tmp_path, monkeypatch):
     from inverserenderingofindoorscene_tpu.utils.logging import MetricLogger
 
     def run_args(exp):
-        # batchSize 1 -> 3 steps/epoch on the 3-image fixture
+        # batchSize 1 -> 3 steps/epoch on the 3-image fixture.
+        # logFlushSteps 1: this test uses the per-step MetricLogger.log
+        # call as its kill hook, so logging must not be buffered
         return _args(dataset, [
             "--experiment", exp, "--batchSize", "1", "--maxSteps", "100",
             "--ckptEverySteps", "1", "--resume", "auto",
+            "--logFlushSteps", "1",
         ])
 
     # --- run A: uninterrupted 1-epoch run ---

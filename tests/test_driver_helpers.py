@@ -46,3 +46,32 @@ def test_experiment_dir_naming_and_snapshot(tmp_path, monkeypatch):
     assert exp == "check_cascadeLight1_sg12_offset1.0"
     exp = common.experiment_dir(Opt(), "bs")
     assert exp == "checkBs_cascade1_w320_h240"
+
+
+def test_metric_logger_buffered_matches_immediate(tmp_path):
+    """MetricLogger.log_device with flush batching writes the SAME lines,
+    history, and curves as per-step log() — only the device->host pull
+    cadence differs (one stacked [N, K] transfer per flush_steps)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from inverserenderingofindoorscene_tpu.utils.logging import MetricLogger
+
+    a = MetricLogger(str(tmp_path / "a.txt"), flush_steps=1)
+    b = MetricLogger(str(tmp_path / "b.txt"), flush_steps=4)
+    for j in range(10):  # 10 % 4 != 0: close() must flush the tail
+        m = {"total": jnp.float32(1.0 / (j + 1)), "albedo": jnp.float32(j)}
+        a.log(0, j, {k: float(v) for k, v in m.items()})
+        b.log_device(0, j, m)
+    assert len(b.history.get("total", [])) == 8  # two flushes so far
+    a.save_curves(str(tmp_path), 0)
+    b.close()
+    assert b.history == a.history
+    b.save_curves(str(tmp_path / "."), 0)
+    lines_a = open(tmp_path / "a.txt").read()
+    lines_b = open(tmp_path / "b.txt").read()
+    assert lines_a == lines_b
+    np.testing.assert_array_equal(
+        np.load(tmp_path / "totalError_0.npy"),
+        np.array(a.history["total"]),
+    )
