@@ -338,12 +338,21 @@ def resume_train_state(opt, exp, stage, cascade, state,
     return state, e2, j2 + 1
 
 
-def maybe_save_step_checkpoint(opt, exp, stage, cascade, state, epoch, j):
-    """The per-N-step save hook (no-op unless --ckptEverySteps > 0)."""
+def maybe_save_step_checkpoint(opt, exp, stage, cascade, state, epoch, j,
+                               logger=None):
+    """The per-N-step save hook (no-op unless --ckptEverySteps > 0).
+
+    Flushes the (possibly buffered, --logFlushSteps) MetricLogger before
+    writing, so a kill right after the save never loses log lines for
+    steps the checkpoint already covers — resume skips those steps
+    without re-logging them, which would leave a permanent gap in
+    trainingLog.txt and the error curves."""
     from inverserenderingofindoorscene_tpu.utils import checkpoint as ckpt
 
     n = getattr(opt, "ckptEverySteps", 0) or 0
     if n > 0 and (j + 1) % n == 0:
+        if logger is not None:
+            logger.flush()
         ckpt.save_step_checkpoint(
             exp, stage, cascade, state, epoch, j,
             keep=getattr(opt, "ckptKeep", 2),

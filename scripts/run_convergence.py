@@ -206,7 +206,10 @@ def _finetune_iiw_leg(opt, args, exp, prior, summary):
             im = (np.asarray(im, np.float32) / 255.0) ** 2.2
             im = im / im.max()  # the loader's normalization (iiw.py)
             preds = fwd({"im": im[None]})
-            refl = 0.5 * (np.asarray(preds["albedo"][0], np.float64) + 1.0)
+            # brdf_forward already maps the albedo head to [0,1]
+            # (pipeline/brdf.py:170,178, one application of 0.5*(x+1)
+            # like the reference wrapperIIW.py:83) — use it directly
+            refl = np.asarray(preds["albedo"][0], np.float64)
             with open(osp.join(iiw_root,
                                name.replace(".png", ".json"))) as f:
                 res = compute_whdr(refl, json.load(f))
@@ -332,9 +335,13 @@ def main(argv=None):
 
     def dump_summary():
         # persisted after EVERY stage so a wedged-tunnel kill + rerun
-        # resumes at stage granularity, not from scratch
+        # resumes at stage granularity, not from scratch.  prior stages
+        # not yet re-reached in program order are merged in, so a crash
+        # mid-rerun never discards previously recorded results
+        merged = dict(prior)
+        merged.update(summary["stages"])
         with open(sj, "w") as f:
-            json.dump(summary, f, indent=1)
+            json.dump({**summary, "stages": merged}, f, indent=1)
 
     def run_stage(name, train_main, bs, epochs, extra_train, eval_extra,
                   eval_keys, stage=None):
