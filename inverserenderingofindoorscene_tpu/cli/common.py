@@ -263,6 +263,17 @@ def load_frozen_cascade0(opt, rng):
         opt0.lightExperiment = None
     if not hasattr(opt0, "lightEpoch"):
         opt0.lightEpoch = None
+    # At cascade 1 ``--brdfExperiment`` names the CASCADE-1 init point;
+    # the frozen synthesis stack comes from the separate
+    # ``--brdf0Experiment`` / ``--light0Experiment`` (the reference loads
+    # the two levels from distinct check_cascade{0,1} dirs,
+    # trainFineTuneIIW_cascade1.py:117-160)
+    if getattr(opt, "brdf0Experiment", None):
+        opt0.brdfExperiment = opt.brdf0Experiment
+        opt0.brdfEpoch = getattr(opt, "brdf0Epoch", None)
+    if getattr(opt, "light0Experiment", None):
+        opt0.lightExperiment = opt.light0Experiment
+        opt0.lightEpoch = getattr(opt, "light0Epoch", None)
     k1, k2 = _jax.random.split(rng)
     brdf_nets0, brdf_params0 = load_frozen_brdf(opt0, k1)
     light_nets0 = LightNets(

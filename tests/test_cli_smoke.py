@@ -225,6 +225,108 @@ def test_build_cache_cli(dataset, tmp_path):
     assert osp.basename(cached.dir) in dirs
 
 
+def test_cache_build_kill_resume(dataset, tmp_path):
+    """A SIGKILLed cache build resumes from its durable chunk bitmap
+    (data/cache.py _build: rows flushed before bits) instead of
+    restarting from zero, meta.json only appears on completion, and the
+    resumed cache is bitwise-identical to the direct loader."""
+    import subprocess
+    import sys
+    import time
+
+    # widen the tree to 12 items by hardlinking the fixture's files into
+    # three more scenes (content-identical; the cache keys rows by path)
+    root = str(tmp_path / "tree")
+    src_scene = osp.join(dataset, "main_xml", "scene0001")
+    os.makedirs(osp.join(root, "main_xml"), exist_ok=True)
+    names = []
+    for sidx in range(4):
+        rel = "scene%04d" % sidx
+        names.append(rel)
+        dst = osp.join(root, "main_xml", rel)
+        os.makedirs(dst, exist_ok=True)
+        for f in os.listdir(src_scene):
+            os.link(osp.join(src_scene, f), osp.join(dst, f))
+    with open(osp.join(root, "train.txt"), "w") as f:
+        f.write("\n".join(names) + "\n")
+    with open(osp.join(root, "test.txt"), "w") as f:
+        f.write(names[0] + "\n")
+
+    cache = str(tmp_path / "cache")
+    prog = """
+import sys
+import time
+from inverserenderingofindoorscene_tpu.data import cache as C
+from inverserenderingofindoorscene_tpu.data.openrooms import OpenRoomsDataset
+C.CachedOpenRoomsDataset._BUILD_CHUNK = 3
+ds = OpenRoomsDataset(sys.argv[1], im_hw=(64, 64), env_rc=(32, 32),
+                      is_light=True, is_all_light=True, seed=5)
+orig = ds.load_raw
+ds.load_raw = lambda i: (time.sleep(0.25), orig(i))[1]
+C.CachedOpenRoomsDataset(ds, sys.argv[2], workers=1)
+"""
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    p = subprocess.Popen([sys.executable, "-c", prog, root, cache], env=env)
+    try:
+        # wait for >=1 durable chunk, then SIGKILL mid-build (this exact
+        # child pid only)
+        bpath = None
+        deadline = time.time() + 180
+        while time.time() < deadline:
+            if bpath is None and osp.isdir(cache):
+                for d in os.listdir(cache):
+                    q = osp.join(cache, d, "built.u8")
+                    if osp.isfile(q):
+                        bpath = q
+            if bpath and osp.getsize(bpath) > 0:
+                bits = np.fromfile(bpath, np.uint8)
+                if 3 <= bits.sum() < len(bits):
+                    break
+            if p.poll() is not None:
+                break
+            time.sleep(0.05)
+    finally:
+        p.kill()
+        p.wait()
+    assert bpath is not None, "build never started"
+    bits = np.fromfile(bpath, np.uint8)
+    assert 0 < bits.sum() < 12, int(bits.sum())  # genuinely partial
+    shard = osp.dirname(bpath)
+    # incomplete build is not readable as a cache
+    assert not osp.isfile(osp.join(shard, "meta.json"))
+
+    from inverserenderingofindoorscene_tpu.data.cache import (
+        CachedOpenRoomsDataset,
+    )
+    from inverserenderingofindoorscene_tpu.data.openrooms import (
+        OpenRoomsDataset,
+    )
+
+    def make():
+        return OpenRoomsDataset(root, im_hw=(64, 64), env_rc=(32, 32),
+                                is_light=True, is_all_light=True, seed=5)
+
+    # resume in-process: only the missing rows are decoded again
+    calls = []
+    ds2 = make()
+    orig2 = ds2.load_raw
+    ds2.load_raw = lambda i: (calls.append(i), orig2(i))[1]
+    cached = CachedOpenRoomsDataset(ds2, cache)
+    assert cached.dir == shard
+    assert osp.isfile(osp.join(shard, "meta.json"))
+    # row 0 is always re-read for array shapes; every durable row is
+    # skipped, every missing row decoded exactly once
+    assert set(calls) - {0} == set(np.flatnonzero(bits == 0)) - {0}, calls
+
+    direct = make()
+    for i in range(len(direct)):
+        a, b = direct[i], cached[i]
+        np.testing.assert_array_equal(b["im"], a["im"])
+        np.testing.assert_array_equal(b["albedo"], a["albedo"])
+        np.testing.assert_allclose(b["env_gt"], a["env_gt"], rtol=3e-6,
+                                   atol=1e-7)
+
+
 def test_batch_iterator_process_mode_matches_thread(dataset):
     """The spawned process-pool prefetch (the train CLIs' default for
     BRDF-stage loaders) must yield the SAME batches as the thread/serial
