@@ -22,6 +22,7 @@ Usage:
 
 import argparse
 import json
+import os
 import os.path as osp
 import sys
 import time
@@ -130,7 +131,12 @@ def _finetune_nyu_leg(opt, args, exp, prior, summary, cascade=0):
         return
 
     nyu_root = osp.join(opt.out, "nyu_fixture")
-    write_nyu_fixture(nyu_root)
+    # 4*(H, W) keeps the photos at the network aspect (== the NYU-native
+    # 480x640 at the flagship 120x160 operating point; SQUARE at the
+    # 64x64 CI point, where a 4:3 photo would aspect-scale the lighting
+    # grid below the light encoder's 6-level minimum in test_real)
+    write_nyu_fixture(nyu_root,
+                      frame_hw=(4 * opt.imHeight, 4 * opt.imWidth))
     nyu_args = [
         "--nyuImRoot", osp.join(nyu_root, "images"),
         "--nyuNormalRoot", osp.join(nyu_root, "normals"),
@@ -286,7 +292,8 @@ def _capstone_leg(opt, exp, prior, summary):
     iiw_root = osp.join(opt.out, "iiw_fixture")
     write_iiw_fixture(iiw_root, frame_hw=(4 * opt.imHeight, 4 * opt.imWidth))
     nyu_root = osp.join(opt.out, "nyu_fixture")
-    write_nyu_fixture(nyu_root)
+    write_nyu_fixture(nyu_root,
+                      frame_hw=(4 * opt.imHeight, 4 * opt.imWidth))
 
     level = 2 if "brdf1" in exp else 1
     lvl = level - 1  # products are written with 0-based level suffixes
@@ -323,17 +330,17 @@ def _capstone_leg(opt, exp, prior, summary):
         # the reference evaluates the BS-refined albedo/depth products
         # and the raw normal (CompareWHDR.py:72, CompareDepth.py:10)
         return {
-            "whdr": compare.main([
+            "whdr": float(compare.main([
                 "whdr", "--predRoot", outdir, "--gtRoot", iiw_root,
-                "--level", str(lvl), "--useBS"]),
-            "normal_mean_deg": compare.main([
+                "--level", str(lvl), "--useBS"])),
+            "normal_mean_deg": float(compare.main([
                 "normal", "--predRoot", outdir,
                 "--gtRoot", osp.join(nyu_root, "normals"),
-                "--level", str(lvl)]),
-            "si_log_depth_rmse": compare.main([
+                "--level", str(lvl)])),
+            "si_log_depth_rmse": float(compare.main([
                 "depth", "--predRoot", outdir,
                 "--gtRoot", osp.join(nyu_root, "depths"),
-                "--level", str(lvl), "--useBS"]),
+                "--level", str(lvl), "--useBS"])),
         }
 
     t1 = time.time()
@@ -342,8 +349,8 @@ def _capstone_leg(opt, exp, prior, summary):
            "trained_products": serve("trained", "main")}
     rec["serve_s"] = round(time.time() - t1, 1)
     rec["product_improvement"] = {
-        k: round(rec["init_products"][k]
-                 / max(rec["trained_products"][k], 1e-12), 2)
+        k: round(float(rec["init_products"][k])
+                 / max(float(rec["trained_products"][k]), 1e-12), 2)
         for k in rec["trained_products"]
     }
     summary["stages"]["capstone"] = rec
@@ -415,6 +422,9 @@ def main(argv=None):
     ap.add_argument("--b20Batch", type=int, default=20)
     ap.add_argument("--b20Epochs", type=int, default=None,
                     help="default: --lightEpochs (equal data passes)")
+    ap.add_argument("--bsMidEpochs", type=int, default=None,
+                    help="default: 3 * --bsEpochs (the mid leg is the "
+                         "LEARNING gate; give it enough steps)")
     ap.add_argument("--bsMid", action="store_true",
                     help="bilateral convergence leg against a MID-training "
                          "BRDF checkpoint, where refinement signal exists "
@@ -484,8 +494,13 @@ def main(argv=None):
         # mid-rerun never discards previously recorded results
         merged = dict(prior)
         merged.update(summary["stages"])
-        with open(sj, "w") as f:
-            json.dump({**summary, "stages": merged}, f, indent=1)
+        # atomic: a crash mid-serialization must never corrupt the
+        # resume state (a half-written summary.json loses EVERY stage)
+        blob = json.dumps({**summary, "stages": merged}, indent=1)
+        tmp = sj + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(blob)
+        os.replace(tmp, sj)
 
     def run_stage(name, train_main, bs, epochs, extra_train, eval_extra,
                   eval_keys, stage=None):
@@ -535,9 +550,6 @@ def main(argv=None):
     def _scalar(v):
         a = np.asarray(v, np.float64).ravel()
         return float(a[-1] if a.size > 1 else a[0])  # bilateral: [raw, bs]
-
-    def _scalar0(v):
-        return float(np.asarray(v, np.float64).ravel()[0])  # the raw half
 
     dt = ["--computeDtype", opt.computeDtype]
 
@@ -651,7 +663,7 @@ def main(argv=None):
                 ["--experiment", init_exp] + brdf_mid, opt.bsBatch, 1,
                 max_steps=0))
             m0 = test_synthetic.main(args(
-                ["--stage", "bs",
+                ["--stage", "bilateral",
                  "--testRoot", osp.join(opt.out, f"test_{name0}_init"),
                  "--bsExperiment", init_exp] + brdf_mid, opt.bsBatch, 1))
             keys = ("albedo_bs", "rough_bs", "depth_bs")
@@ -660,17 +672,21 @@ def main(argv=None):
             mid_exp = osp.join(opt.out, f"{name0}_main")
             train_bilateral.main(args(
                 ["--experiment", mid_exp] + brdf_mid, opt.bsBatch,
-                opt.bsEpochs))
+                opt.bsMidEpochs or 3 * opt.bsEpochs))
             rec["train_s"] = round(time.time() - t1, 1)
             rec["loss"] = curve_stats(mid_exp)
             m1 = test_synthetic.main(args(
-                ["--stage", "bs",
+                ["--stage", "bilateral",
                  "--testRoot", osp.join(opt.out, f"test_{name0}_main"),
                  "--bsExperiment", mid_exp] + brdf_mid, opt.bsBatch, 1))
             rec["trained_test"] = {k: _scalar(m1[k]) for k in keys}
-            # [raw, refined] per metric: refined must BEAT the frozen
-            # mid-BRDF's raw predictions (trainBRDFBilateral.py:264-342)
-            rec["trained_raw"] = {k: _scalar0(m1[k]) for k in keys}
+            # test_synthetic's bilateral stage reports the [raw, refined]
+            # pair as separate {k}_raw / {k}_bs keys: refined must BEAT
+            # the frozen mid-BRDF's raw predictions
+            # (trainBRDFBilateral.py:264-342)
+            rec["trained_raw"] = {
+                k: _scalar(m1[k.replace("_bs", "_raw")]) for k in keys
+            }
             rec["test_improvement"] = {
                 k: round(rec["init_test"][k]
                          / max(rec["trained_test"][k], 1e-12), 2)
