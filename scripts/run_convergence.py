@@ -437,8 +437,6 @@ def main(argv=None):
     opt = ap.parse_args(argv)
 
     if opt.platform == "cpu":
-        import os
-
         os.environ["JAX_PLATFORMS"] = "cpu"
         import jax
 
