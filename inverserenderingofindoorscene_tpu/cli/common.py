@@ -282,7 +282,36 @@ def load_frozen_cascade0(opt, rng):
         env_height=opt.envHeight, env_width=opt.envWidth,
     )
     light_params0 = load_frozen_light(opt0, k2, light_nets0)
+    # Commit the frozen stacks to the device: orbax restores host targets
+    # as numpy, and a jit that CLOSES OVER numpy leaves (the inline
+    # synthesize_pre wrappers here and in scripts/run_convergence.py)
+    # embeds them as HLO constants — tens of MB re-uploaded inside every
+    # compiled program, which stalls the axon tunnel.  As committed
+    # jax.Arrays they upload once and the programs reference them.
+    brdf_params0 = _jax.device_put(brdf_params0)
+    light_params0 = _jax.device_put(light_params0)
     return brdf_nets0, light_nets0, brdf_params0, light_params0
+
+
+def make_pre_synth(opt, rng):
+    """Jitted ``*_pre`` synthesizer over the frozen cascade-0 stack for
+    the cascade-1 fine-tune flows (trainFineTune*_cascade1.py:300-374).
+
+    The frozen params enter the jit as ARGUMENTS, never as closures:
+    closed-over weights (numpy or jax.Array alike) lower to HLO
+    constants, and the c0 BRDF+Light stack is ~400 MB of conv kernels —
+    a compile request that big is rejected by the axon tunnel's
+    /remote_compile endpoint (HTTP 413, surfacing as a stalled ~4 MB
+    socket Send-Q mid-upload)."""
+    import jax as _jax
+
+    from inverserenderingofindoorscene_tpu.pipeline.finetune import (
+        synthesize_pre,
+    )
+
+    bn0, ln0, bp0, lp0 = load_frozen_cascade0(opt, rng)
+    syn = _jax.jit(lambda bp, lp, b: synthesize_pre(bn0, ln0, bp, lp, b))
+    return lambda b: syn(bp0, lp0, b)
 
 
 def dump_preview(exp, epoch, step, arrays: dict):

@@ -86,12 +86,7 @@ def main(argv=None):
     # by the frozen cascade-0 stack (trainFineTuneNYU_cascade1.py:311-374).
     synth = None
     if opt.cascadeLevel > 0:
-        from inverserenderingofindoorscene_tpu.pipeline.finetune import (
-            synthesize_pre,
-        )
-
-        c0 = common.load_frozen_cascade0(opt, jax.random.PRNGKey(opt.seed + 7))
-        synth = jax.jit(lambda b: synthesize_pre(*c0, b))
+        synth = common.make_pre_synth(opt, jax.random.PRNGKey(opt.seed + 7))
 
     state, start_epoch, skip = common.resume_train_state(
         opt, exp, "nyu", opt.cascadeLevel, state

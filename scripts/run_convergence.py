@@ -78,8 +78,15 @@ def _brdf_forward_fn(opt, exp, exp_dir, stage, cascade):
     assert epoch is not None, (exp_dir, stage, cascade)
     state = create_train_state(params, reference_adam(1e-4))
     state = ckpt.restore_checkpoint(exp_dir, stage, cascade, epoch, state)
+    # params enter as jit ARGUMENTS: closed-over weights (numpy OR
+    # jax.Array) lower to HLO constants, and the frozen c0 BRDF+Light
+    # stack is ~400 MB of conv kernels — the axon tunnel's
+    # /remote_compile rejects the request body (HTTP 413; observed as a
+    # stalled 4.2 MB Send-Q mid-upload)
+    brdf_params = jax.device_put(state.params)
+    fwd = jax.jit(lambda p, b: brdf_forward(nets, p, b))
     if cascade == 0:
-        return jax.jit(lambda b: brdf_forward(nets, state.params, b))
+        return lambda b: fwd(brdf_params, b)
 
     from types import SimpleNamespace
 
@@ -95,10 +102,12 @@ def _brdf_forward_fn(opt, exp, exp_dir, stage, cascade):
         brdf0Experiment=exp["brdf"], brdf0Epoch=None,
         light0Experiment=exp["light"], light0Epoch=None,
     )
-    c0 = cli_common.load_frozen_cascade0(ns, jax.random.PRNGKey(7))
-    return jax.jit(
-        lambda b: brdf_forward(nets, state.params, synthesize_pre(*c0, b))
-    )
+    bn0, ln0, bp0, lp0 = cli_common.load_frozen_cascade0(
+        ns, jax.random.PRNGKey(7))
+    # two programs (like the fine-tune CLIs), frozen params as arguments
+    synth = jax.jit(
+        lambda bp, lp, b: synthesize_pre(bn0, ln0, bp, lp, b))
+    return lambda b: fwd(brdf_params, synth(bp0, lp0, b))
 
 
 def _finetune_c1_args(exp):
