@@ -75,3 +75,56 @@ def test_metric_logger_buffered_matches_immediate(tmp_path):
         np.load(tmp_path / "totalError_0.npy"),
         np.array(a.history["total"]),
     )
+
+
+def test_watchdog_restarts_stalled_child_and_completes(tmp_path):
+    """scripts/watchdog.py: a child doing zero io for --stall-secs is
+    killed and relaunched (the axon tunnel's silent zero-io wedge); a
+    child that exits 0 ends the loop.  The fake child sleeps forever on
+    its first launch (no io) and succeeds on the second, keyed by a
+    marker file."""
+    import subprocess
+    import sys
+
+    marker = tmp_path / "ran_once"
+    child = tmp_path / "child.py"
+    child.write_text(
+        "import os, sys, time\n"
+        f"m = {str(marker)!r}\n"
+        "if os.path.exists(m):\n"
+        "    print('second run ok')\n"
+        "    sys.exit(0)\n"
+        "open(m, 'w').write('x')\n"
+        "while True:\n"
+        "    time.sleep(3600)\n"
+    )
+    r = subprocess.run(
+        [sys.executable, "scripts/watchdog.py",
+         "--stall-secs", "3", "--poll-secs", "1", "--settle-secs", "0",
+         "--max-restarts", "2", "--",
+         sys.executable, "-u", str(child)],
+        cwd=osp.dirname(osp.dirname(osp.abspath(__file__))),
+        capture_output=True, text=True, timeout=120,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "io stalled" in r.stdout and "killing" in r.stdout
+    assert "completed cleanly" in r.stdout
+
+
+def test_watchdog_gives_up_after_max_restarts(tmp_path):
+    import subprocess
+    import sys
+
+    child = tmp_path / "fail.py"
+    child.write_text("import sys; sys.exit(3)\n")
+    r = subprocess.run(
+        [sys.executable, "scripts/watchdog.py",
+         "--stall-secs", "5", "--poll-secs", "1", "--settle-secs", "0",
+         "--max-restarts", "1", "--",
+         sys.executable, str(child)],
+        cwd=osp.dirname(osp.dirname(osp.abspath(__file__))),
+        capture_output=True, text=True, timeout=60,
+    )
+    assert r.returncode == 1
+    assert r.stdout.count("launch attempt") == 2
+    assert "gave up" in r.stdout
