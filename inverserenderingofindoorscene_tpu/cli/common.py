@@ -274,6 +274,28 @@ def load_frozen_cascade0(opt, rng):
     if getattr(opt, "light0Experiment", None):
         opt0.lightExperiment = opt.light0Experiment
         opt0.lightEpoch = getattr(opt, "light0Epoch", None)
+    # Hard-fail when the cascade-0 checkpoints cannot be found: a typo'd
+    # or omitted --brdf0Experiment/--light0Experiment would otherwise
+    # fall through to the loaders' random-frozen-nets WARNING and the
+    # whole fine-tune would train against garbage pre-conditioning
+    # "successfully" (the reference crashes on a missing checkpoint,
+    # trainFineTuneIIW_cascade1.py:117-160)
+    from inverserenderingofindoorscene_tpu.utils import checkpoint as _ck
+
+    bexp = opt0.brdfExperiment or default_experiment_name(opt0, "brdf")
+    if (opt0.brdfEpoch is None
+            and _ck.latest_epoch(bexp, "brdf", 0) is None):
+        raise FileNotFoundError(
+            f"cascade-1 pre-synthesis needs a trained cascade-0 BRDF; no "
+            f"checkpoint under {bexp!r} (--brdf0Experiment/--brdf0Epoch)")
+    lexp = opt0.lightExperiment or default_experiment_name(
+        opt0, "light", offset=getattr(opt0, "offset", 1.0))
+    if (opt0.lightEpoch is None
+            and _ck.latest_epoch(lexp, "light", 0) is None):
+        raise FileNotFoundError(
+            f"cascade-1 pre-synthesis needs a trained cascade-0 Light "
+            f"stack; no checkpoint under {lexp!r} "
+            f"(--light0Experiment/--light0Epoch)")
     k1, k2 = _jax.random.split(rng)
     brdf_nets0, brdf_params0 = load_frozen_brdf(opt0, k1)
     light_nets0 = LightNets(

@@ -59,10 +59,15 @@ def build_tree(out, n_items):
         names.append(rel)
         dst = osp.join(tree, "main_xml", rel)
         if osp.isdir(dst):
-            continue
-        os.makedirs(dst)
+            if len(os.listdir(dst)) == len(os.listdir(src_scene)):
+                continue  # complete from a prior run
+            shutil.rmtree(dst)  # partial dir from a killed run: redo
+        tmp = dst + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
         for f in os.listdir(src_scene):
-            os.link(osp.join(src_scene, f), osp.join(dst, f))
+            os.link(osp.join(src_scene, f), osp.join(tmp, f))
+        os.rename(tmp, dst)  # a scene dir exists only when complete
     with open(osp.join(tree, "train.txt"), "w") as f:
         f.write("\n".join(names) + "\n")
     with open(osp.join(tree, "test.txt"), "w") as f:

@@ -54,12 +54,19 @@ def curve_stats(exp, key="total"):
     }
 
 
+_JITS = {}  # (kind, cascade, dims) -> compiled program, params as args
+
+
 def _brdf_forward_fn(opt, exp, exp_dir, stage, cascade):
     """Jitted im->preds forward of the checkpointed BRDF at either
     cascade.  At cascade 1 the TRAINED cascade-0 BRDF+Light stacks
     (exp['brdf'], exp['light']) synthesize the *_pre inputs inline, the
     same flow the cascade-1 fine-tune drivers use
-    (trainFineTuneIIW_cascade1.py:300-362)."""
+    (trainFineTuneIIW_cascade1.py:300-362).  The jitted programs take
+    params as ARGUMENTS and are cached in _JITS, so the init and
+    trained evals of every leg share ONE compile per program (these are
+    the recipe's longest compiles — each avoided recompile is also one
+    fewer tunnel-wedge window)."""
     import jax
 
     from inverserenderingofindoorscene_tpu.pipeline.brdf import (
@@ -84,7 +91,11 @@ def _brdf_forward_fn(opt, exp, exp_dir, stage, cascade):
     # /remote_compile rejects the request body (HTTP 413; observed as a
     # stalled 4.2 MB Send-Q mid-upload)
     brdf_params = jax.device_put(state.params)
-    fwd = jax.jit(lambda p, b: brdf_forward(nets, p, b))
+    fkey = ("fwd", cascade, opt.imHeight, opt.imWidth)
+    if fkey not in _JITS:
+        fnets = nets
+        _JITS[fkey] = jax.jit(lambda p, b: brdf_forward(fnets, p, b))
+    fwd = _JITS[fkey]
     if cascade == 0:
         return lambda b: fwd(brdf_params, b)
 
@@ -105,8 +116,11 @@ def _brdf_forward_fn(opt, exp, exp_dir, stage, cascade):
     bn0, ln0, bp0, lp0 = cli_common.load_frozen_cascade0(
         ns, jax.random.PRNGKey(7))
     # two programs (like the fine-tune CLIs), frozen params as arguments
-    synth = jax.jit(
-        lambda bp, lp, b: synthesize_pre(bn0, ln0, bp, lp, b))
+    skey = ("synth", opt.imHeight, opt.imWidth, opt.envRow, opt.envCol)
+    if skey not in _JITS:
+        _JITS[skey] = jax.jit(
+            lambda bp, lp, b: synthesize_pre(bn0, ln0, bp, lp, b))
+    synth = _JITS[skey]
     return lambda b: fwd(brdf_params, synth(bp0, lp0, b))
 
 
@@ -306,6 +320,18 @@ def _capstone_leg(opt, exp, prior, summary):
 
     level = 2 if "brdf1" in exp else 1
     lvl = level - 1  # products are written with 0-based level suffixes
+
+    # hard-fail on missing stage checkpoints: test_real's loaders fall
+    # back to random frozen nets with a WARNING, which would silently
+    # record products of an untrained Light/BS stack as the capstone
+    need = ["brdf", "light", "bilateral"] + (
+        ["brdf1", "light1"] if level == 2 else [])
+    for s in need:
+        for suffix in ("init", "main"):
+            d = osp.join(opt.out, f"{s}_{suffix}")
+            assert osp.isdir(d), (
+                f"capstone needs the {s} stage's {suffix} checkpoints; "
+                f"{d} missing — run the recipe with its stages enabled")
 
     # held-out photo set: IIW TEST pngs (WHDR judgements) + NYU TEST
     # frames (normal/depth GT)
@@ -655,10 +681,16 @@ def main(argv=None):
             # mid-training BRDF checkpoint: the saved epoch nearest to
             # half the run (the resumable runner keeps every
             # --saveEvery'th epoch)
+            # exact brdf0_<epoch> dirs only: brdf0_step_<e>_<j>
+            # preemption checkpoints would otherwise parse their step
+            # index as an epoch
+            import re as _re
+
             eps = sorted(
-                int(osp.basename(p).split("_")[-1])
+                int(m.group(1))
                 for p in _glob.glob(osp.join(exp["brdf"], "brdf0_*"))
-                if osp.basename(p).split("_")[-1].isdigit()
+                for m in [_re.fullmatch(r"brdf0_(\d+)", osp.basename(p))]
+                if m
             )
             assert eps, exp["brdf"]
             mid = min(eps, key=lambda e: abs(e - max(eps) / 2))

@@ -71,7 +71,10 @@ def main(argv=None):
             except subprocess.TimeoutExpired:
                 pass
             now_io = io_bytes(p.pid)
-            if now_io is not None and now_io != last_io:
+            if now_io is None or now_io != last_io:
+                # unreadable /proc io (e.g. hidepid) disables stall
+                # detection rather than counting as a stall — never kill
+                # a child we cannot observe
                 last_io, last_change = now_io, time.time()
             elif time.time() - last_change > opt.stall_secs:
                 log(f"io stalled {opt.stall_secs}s (pid {p.pid}); killing")
