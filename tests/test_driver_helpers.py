@@ -128,3 +128,30 @@ def test_watchdog_gives_up_after_max_restarts(tmp_path):
     assert r.returncode == 1
     assert r.stdout.count("launch attempt") == 2
     assert "gave up" in r.stdout
+
+
+def test_load_frozen_cascade0_hard_fails_without_c0_checkpoints(tmp_path):
+    """A typo'd/absent --brdf0Experiment at cascadeLevel 1 must raise,
+    not silently synthesize *_pre from random frozen nets (the loaders'
+    fallback is a print; the reference crashes on a missing checkpoint,
+    trainFineTuneIIW_cascade1.py:117-160)."""
+    import jax
+    import pytest
+
+    class Opt:
+        cascadeLevel = 1
+        imHeight, imWidth = 64, 64
+        envRow = envCol = 32
+        envHeight, envWidth = 8, 16
+        SGNum = 12
+        seed = 0
+        offset = 1.0
+        brdfExperiment = None
+        brdfEpoch = None
+        brdf0Experiment = str(tmp_path / "no_such_brdf0")
+        brdf0Epoch = None
+        light0Experiment = str(tmp_path / "no_such_light0")
+        light0Epoch = None
+
+    with pytest.raises(FileNotFoundError, match="cascade-0 BRDF"):
+        common.load_frozen_cascade0(Opt(), jax.random.PRNGKey(0))
