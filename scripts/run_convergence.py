@@ -477,6 +477,17 @@ def main(argv=None):
 
         jax.config.update("jax_platforms", "cpu")
 
+    # persistent XLA compile cache under the run dir: every
+    # wedge-kill/resume cycle re-pays the recipe's compiles otherwise
+    # (measured to work across processes over the axon tunnel; the
+    # cache stores the compiled executable, not the 413-prone request)
+    import jax as _jx
+
+    os.makedirs(opt.out, exist_ok=True)
+    _jx.config.update("jax_compilation_cache_dir",
+                      osp.join(opt.out, "xla_cache"))
+    _jx.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from inverserenderingofindoorscene_tpu.cli import (
         test_synthetic,
         train_bilateral,
