@@ -124,7 +124,16 @@ def _packed_coords(image_rgb, sigma_spatial, sigma_luma, sigma_chroma,
     yuv = image_rgb @ jnp.asarray(RGB_TO_YUV.T, image_rgb.dtype) + jnp.asarray(
         YUV_OFFSET, image_rgb.dtype
     )
-    yuv = jnp.clip(yuv, 0.0, 256.0)  # keep packed fields in range
+    # Keep packed fields in range.  Guides above 1.0 (possible: the
+    # max-normalization clamps the divisor to <=1, BilateralLayer.py:
+    # 250-253, and HDR training images exceed 1) clip into the top grid
+    # cells here.  The reference has the SAME 256-cell domain constraint
+    # — its integer hash requires every scaled coordinate < MAX_VAL and
+    # silently ALIASES arbitrary cells together beyond it
+    # (BilateralGrid.py:56-59) — so clipping (which merges only
+    # neighboring top cells, deterministically) is the strictly safer
+    # behavior, not a parity break.
+    yuv = jnp.clip(yuv, 0.0, 256.0)
     iy, ix = jnp.meshgrid(jnp.arange(h), jnp.arange(w), indexing="ij")
     cx = (ix / sigma_spatial).astype(jnp.int32)
     cy = (iy / sigma_spatial).astype(jnp.int32)

@@ -46,24 +46,33 @@ def load_real_image(path, im_hw, env_rc, return_original=False):
     im_cpu = im_cpu[:, :, ::-1]
     nh, nw = im_cpu.shape[:2]
 
-    def fit(max_h, max_w):
-        if nh < nw:
+    def fit_dims(nh0, nw0, max_h, max_w):
+        if nh0 < nw0:
             w = max_w
-            h = int(float(max_w) / nw * nh)
+            h = int(float(max_w) / nw0 * nh0)
         else:
             h = max_h
-            w = int(float(max_h) / nh * nw)
+            w = int(float(max_h) / nh0 * nw0)
+        return h, w
+
+    def resize_gamma(h, w, ref_h):
         # reference quirk kept for parity (testReal.py:306-309): INTER_AREA
-        # when UPSCALING (nh < newH), INTER_LINEAR when downscaling
-        interp = cv2.INTER_AREA if nh < h else cv2.INTER_LINEAR
+        # when UPSCALING (ref_h < h), INTER_LINEAR when downscaling
+        interp = cv2.INTER_AREA if ref_h < h else cv2.INTER_LINEAR
         out = cv2.resize(im_cpu, (w, h), interpolation=interp)
         out = out.astype(np.float32) / 255.0
         out = out / out.max()
         return (out ** 2.2)[None]
 
-    im = fit(*im_hw)
-    im_small = fit(*env_rc)
-    fov = 57.0 if nh < nw else 42.75
+    h0, w0 = fit_dims(nh, nw, *im_hw)
+    im = resize_gamma(h0, w0, nh)
+    # the env-resolution fit runs AFTER `nh, nw = newImHeight[-1],
+    # newImWidth[-1]` in the reference (testReal.py:318): its target size,
+    # its interp-quirk check, and the fov orientation all use the LAST
+    # LEVEL's resized dims, not the original photo's
+    eh, ew = fit_dims(h0, w0, *env_rc)
+    im_small = resize_gamma(eh, ew, h0)
+    fov = 57.0 if h0 < w0 else 42.75
     if return_original:
         return im, im_small, fov, im_cpu
     return im, im_small, fov
@@ -164,11 +173,16 @@ def predict_light_core(light_nets, lp, im, preds, im_small, fov,
     }
 
 
-def predict_light(core_out):
+def predict_light(core_out, cascade=0):
     """cLight/cAlbedo global-scale disambiguation (testReal.py:421-432) —
     Python branching on concrete values, applied to a jitted core output.
     Batch-1 only, like the reference driver; batched serving goes through
-    :func:`predict_light_traced` (fused mode), whose fit is per-image."""
+    :func:`predict_light_traced` (fused mode), whose fit is per-image.
+
+    ``cascade`` selects the degenerate-specular threshold: the reference
+    uses ``cSpec < 1e-3`` at cascade 0 (testReal.py:421) but ``cSpec == 0``
+    at cascade 1 (testReal.py:517) — mirrored here as ``<= 0`` (the
+    specular sums are non-negative, so the two are equivalent)."""
     c_diff = float(
         jnp.sum(core_out["diffuse"]) / jnp.sum(core_out["diffuse_raw"])
     )
@@ -176,7 +190,7 @@ def predict_light(core_out):
         jnp.sum(core_out["specular"]) / jnp.sum(core_out["specular_raw"])
     )
     albedo_max = float(core_out["albedo_max"].reshape(-1)[0])
-    if c_spec < 1e-3:
+    if (c_spec < 1e-3) if cascade == 0 else (c_spec <= 0.0):
         c_albedo = 1.0 / albedo_max
         c_light = c_diff / c_albedo
     else:
@@ -193,7 +207,7 @@ def predict_light(core_out):
     }
 
 
-def predict_light_traced(core_out):
+def predict_light_traced(core_out, cascade=0):
     """Traceable cLight/cAlbedo disambiguation (testReal.py:421-432).
 
     Same math as :func:`predict_light` but with the data-dependent branch
@@ -219,8 +233,11 @@ def predict_light_traced(core_out):
         / jnp.sum(core_out["specular_raw"], axes)
     )
     ca_hi = 1.0 / core_out["albedo_max"]
+    # per-cascade degenerate threshold, like predict_light: the
+    # reference branches on < 1e-3 at cascade 0 but == 0 at cascade 1
+    degenerate = (c_spec < 1e-3) if cascade == 0 else (c_spec <= 0.0)
     c_albedo = jnp.where(
-        c_spec < 1e-3, ca_hi, jnp.clip(c_diff / c_spec, 1e-3, ca_hi)
+        degenerate, ca_hi, jnp.clip(c_diff / c_spec, 1e-3, ca_hi)
     )
     c_light = c_diff / c_albedo
     env = core_out["env_img"]
@@ -239,16 +256,15 @@ def bs_prep(im, preds, bs_params=None):
     (BilateralLayer.py:250-253), per-mode targets and confidences (trained
     CNNs when a checkpoint is available, unit confidence otherwise).
     Returns (guide, targets dict, confs dict)."""
-    h, w = im.shape[1:3]
-    guide = preds["albedo"]
-    # per-image max (identical at the reference driver's B=1,
-    # BilateralLayer.py:250-253; keeps batched refinement independent
-    # across the batch)
-    gmax = jnp.clip(
-        jnp.max(guide, axis=tuple(range(1, guide.ndim)), keepdims=True),
-        1e-5, 1.0,
+    from inverserenderingofindoorscene_tpu.pipeline.bilateral import (
+        normalized_guide,
     )
-    guide = guide / gmax
+
+    h, w = im.shape[1:3]
+    # ONE implementation of the parity-sensitive guide clamp for
+    # training and inference (per-image max, identical at the reference
+    # driver's B=1, BilateralLayer.py:250-253)
+    guide = normalized_guide(preds["albedo"])
     targets = {
         "albedo": preds["albedo"],
         "rough": 0.5 * (preds["rough"] + 1.0),
@@ -491,13 +507,14 @@ class InverseRenderer:
         """The full chain with pluggable scale disambiguation:
         :func:`predict_light_traced` when jitted whole (fused), the
         identity when the caller applies :func:`predict_light` on host."""
-        # At level 2, lighting runs at EVERY level like the reference's
-        # testReal cascade loop (testReal.py:382-529 — opt.isLight only
-        # gates which PRODUCTS are saved): the per-level cLight/cAlbedo
-        # scales apply to the saved BRDF maps whether or not light
-        # products are written.  is_light=False at level 1 is the
-        # explicit BRDF-only fast path (no light compute, no scale —
-        # a deliberate opt-out from testReal's always-scaled albedo).
+        # Lighting gates mirror the reference exactly: cascade-0 light
+        # runs when `isLight or level == 2` (testReal.py:382 — level 2
+        # always needs it for the cascade-1 diffuse/specular inputs),
+        # cascade-1 light ONLY when `level == 2 and isLight`
+        # (testReal.py:475) — without --isLight the reference computes
+        # one cAlbedo and saves the cascade-1 albedo UNSCALED
+        # (testReal.py:546-549's `n < len(cAlbedos)` guard, which
+        # cli/test_real.py mirrors with its `lvl < len(scales)` default).
         brdf0_nets, light0_nets = nets[0]
         preds = predict_brdf(brdf0_nets, params[0], im)
         all_preds = [preds]
@@ -506,7 +523,7 @@ class InverseRenderer:
             lights.append(light_post(predict_light_core(
                 light0_nets, params[1], im, preds, im_small, fov,
                 use_pallas=use_pallas,
-            )))
+            ), cascade=0))
         if self.level == 2:
             brdf1_nets, light1_nets = nets[1]
             extra = _cascade1_extra(
@@ -514,10 +531,11 @@ class InverseRenderer:
             )
             preds = predict_brdf(brdf1_nets, params[2], im, extra)
             all_preds.append(preds)
-            lights.append(light_post(predict_light_core(
-                light1_nets, params[3], im, preds, im_small, fov,
-                lights[0]["sg_flat"], use_pallas=use_pallas,
-            )))
+            if self.is_light:
+                lights.append(light_post(predict_light_core(
+                    light1_nets, params[3], im, preds, im_small, fov,
+                    lights[0]["sg_flat"], use_pallas=use_pallas,
+                ), cascade=1))
         return {
             "preds": all_preds,
             "lights": lights,
@@ -549,21 +567,25 @@ class InverseRenderer:
                 )
             preds = self._brdf0(im)
             all_preds = [preds]
-            # lighting at every level when any light runs (see _run_chain)
+            # lighting gates mirror testReal exactly (see _run_chain):
+            # light0 when isLight or level 2, light1 only with isLight
             lights = []
             if self.is_light or self.level == 2:
                 lights.append(predict_light(
-                    self._light0(im, preds, im_small, fov)
+                    self._light0(im, preds, im_small, fov),
+                    cascade=0,
                 ))
             if self.level == 2:
                 preds = self._brdf1(
                     im, preds, lights[0]["diffuse"], lights[0]["specular"]
                 )
                 all_preds.append(preds)
-                lights.append(predict_light(
-                    self._light1(im, preds, im_small, fov,
-                                 lights[0]["sg_flat"])
-                ))
+                if self.is_light:
+                    lights.append(predict_light(
+                        self._light1(im, preds, im_small, fov,
+                                     lights[0]["sg_flat"]),
+                        cascade=1,
+                    ))
             light_out = lights[-1] if lights else None
         bs_out = (
             [fn(im, p) for fn, p in zip(self._bs_fns, all_preds)]
